@@ -1,0 +1,276 @@
+"""Transformer decoder — full forward (training) + incremental beam-step.
+
+Replicates /root/reference/speechcatcher/model/decoder/transformer_decoder.py
+and decoder_layer.py with a TPU-native incremental design:
+
+The reference caches each layer's *output prefix* and recomputes K/V
+projections over the whole prefix every step (decoder_layer.py:85-95). Here
+the K/V projections themselves are cached in fixed-capacity (Lmax) buffers —
+numerically identical (prefix layer inputs never change between steps, so
+their K/V are constants) but O(1) projection work per step, static shapes,
+and beam reordering is a single gather along the hypothesis axis.
+
+Cross-attention K/V over the growing encoder buffer are likewise cached per
+*stream* (shared by all hypotheses of a stream) and extended only when new
+encoder frames arrive.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from speechcatcher_tpu.config import ModelConfig
+from speechcatcher_tpu.ops.layers import (
+    MASK_MIN,
+    Params,
+    feed_forward,
+    init_ffn,
+    init_layer_norm,
+    init_linear,
+    init_mha,
+    layer_norm,
+    linear,
+    multi_head_attention,
+    sinusoidal_pe_table,
+)
+
+
+def init_decoder_params(key: jax.Array, cfg: ModelConfig) -> Params:
+    keys = jax.random.split(key, 8)
+    d = cfg.decoder_dim
+
+    embed = {
+        "weight": jax.random.normal(keys[0], (cfg.vocab_size, d)) * 1.0
+    }
+
+    def one_layer(k):
+        k1, k2, k3 = jax.random.split(k, 3)
+        return {
+            "self_attn": init_mha(k1, d),
+            "src_attn": init_mha(k2, d),
+            "feed_forward": init_ffn(k3, d, cfg.decoder_linear_units),
+            "norm1": init_layer_norm(d),
+            "norm2": init_layer_norm(d),
+            "norm3": init_layer_norm(d),
+        }
+
+    lkeys = jax.random.split(keys[1], cfg.decoder_layers)
+    layers = [one_layer(k) for k in lkeys]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    return {
+        "embed": embed,
+        "layers": stacked,
+        "after_norm": init_layer_norm(d),
+        "output_layer": init_linear(keys[2], d, cfg.vocab_size),
+    }
+
+
+def decoder_pe_table(cfg: ModelConfig) -> jnp.ndarray:
+    return jnp.asarray(sinusoidal_pe_table(cfg.decoder_dim, cfg.pos_enc_max_len))
+
+
+# ---------------------------------------------------------------------------
+# Full-sequence forward (training / teacher forcing)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def decoder_forward_train(
+    params: Params,
+    memory: jnp.ndarray,        # (B, Tm, d)
+    memory_lens: jnp.ndarray,   # (B,)
+    ys_in: jnp.ndarray,         # (B, L) token ids
+    ys_in_lens: jnp.ndarray,    # (B,)
+    cfg: ModelConfig,
+    pe: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """(B, L, vocab) logits (reference transformer_decoder.py:154-208)."""
+    if pe is None:
+        pe = decoder_pe_table(cfg)
+    b, l = ys_in.shape
+    d = cfg.decoder_dim
+
+    x = params["embed"]["weight"][ys_in] * math.sqrt(d) + pe[None, :l, :]
+
+    causal = jnp.tril(jnp.ones((l, l), dtype=bool))
+    pad = jnp.arange(l)[None, :] < ys_in_lens[:, None]
+    tgt_mask = (pad[:, None, :] & causal[None, :, :]).astype(jnp.float32)
+    mem_mask = (
+        jnp.arange(memory.shape[1])[None, :] < memory_lens[:, None]
+    ).astype(jnp.float32)[:, None, :]
+
+    def body(h, p_layer):
+        residual = h
+        hn = layer_norm(p_layer["norm1"], h)
+        h = residual + multi_head_attention(
+            p_layer["self_attn"], hn, hn, hn, tgt_mask, cfg.decoder_heads
+        )
+        residual = h
+        hn = layer_norm(p_layer["norm2"], h)
+        h = residual + multi_head_attention(
+            p_layer["src_attn"], hn, memory, memory, mem_mask, cfg.decoder_heads
+        )
+        residual = h
+        hn = layer_norm(p_layer["norm3"], h)
+        h = residual + feed_forward(p_layer["feed_forward"], hn)
+        return h, None
+
+    x, _ = jax.lax.scan(body, x, params["layers"])
+    if cfg.normalize_before:
+        x = layer_norm(params["after_norm"], x)
+    return linear(params["output_layer"], x)
+
+
+# ---------------------------------------------------------------------------
+# Incremental decoding with fixed-capacity KV caches
+# ---------------------------------------------------------------------------
+
+class DecoderCache(NamedTuple):
+    """Per-hypothesis self-attention KV cache (fixed capacity Lmax)."""
+
+    k: jnp.ndarray  # (L, N, Lmax, d)
+    v: jnp.ndarray  # (L, N, Lmax, d)
+
+
+class MemoryCache(NamedTuple):
+    """Per-stream cross-attention KV cache over the encoder buffer."""
+
+    k: jnp.ndarray  # (L, S, Tmax, d)
+    v: jnp.ndarray  # (L, S, Tmax, d)
+
+
+def init_decoder_cache(cfg: ModelConfig, n_hyps: int) -> DecoderCache:
+    shape = (cfg.decoder_layers, n_hyps, cfg.max_tokens, cfg.decoder_dim)
+    return DecoderCache(k=jnp.zeros(shape), v=jnp.zeros(shape))
+
+
+def init_memory_cache(cfg: ModelConfig, n_streams: int) -> MemoryCache:
+    shape = (cfg.decoder_layers, n_streams, cfg.max_enc_frames, cfg.decoder_dim)
+    return MemoryCache(k=jnp.zeros(shape), v=jnp.zeros(shape))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
+def extend_memory_cache(
+    params: Params,
+    mem_cache: MemoryCache,
+    new_memory: jnp.ndarray,  # (S, Tnew, d) new encoder frames
+    enc_len: jnp.ndarray,     # (S,) frames already cached
+    cfg: ModelConfig,
+) -> MemoryCache:
+    """Project only the NEW encoder frames into the cross K/V ring."""
+
+    def body(carry, p_layer):
+        k = linear(p_layer["src_attn"]["linear_k"], new_memory)
+        v = linear(p_layer["src_attn"]["linear_v"], new_memory)
+        return carry, (k, v)
+
+    _, (ks, vs) = jax.lax.scan(body, None, params["layers"])
+    # ks: (L, S, Tnew, d). Scatter each stream's block at its enc_len offset.
+    t_new = new_memory.shape[1]
+    tmax = mem_cache.k.shape[2]
+    pos = enc_len[:, None] + jnp.arange(t_new)[None, :]  # (S, Tnew)
+    pos = jnp.clip(pos, 0, tmax - 1)
+    onehot = jax.nn.one_hot(pos, tmax, dtype=mem_cache.k.dtype)  # (S,Tnew,Tmax)
+    written = jnp.clip(jnp.sum(onehot, axis=1), 0.0, 1.0)  # (S, Tmax)
+    keep = (1.0 - written)[None, :, :, None]
+    new_k = mem_cache.k * keep + jnp.einsum("lstd,stm->lsmd", ks, onehot)
+    new_v = mem_cache.v * keep + jnp.einsum("lstd,stm->lsmd", vs, onehot)
+    return MemoryCache(k=new_k, v=new_v)
+
+
+def _attend_cached(
+    q: jnp.ndarray,        # (N, d) single query per hyp
+    k: jnp.ndarray,        # (N, T, d)
+    v: jnp.ndarray,        # (N, T, d)
+    valid: jnp.ndarray,    # (N, T) bool
+    n_head: int,
+) -> jnp.ndarray:
+    n, t, d = k.shape
+    dk = d // n_head
+    qh = q.reshape(n, n_head, dk)
+    kh = k.reshape(n, t, n_head, dk)
+    vh = v.reshape(n, t, n_head, dk)
+    scores = jnp.einsum("nhd,nthd->nht", qh, kh,
+                        preferred_element_type=jnp.float32) / math.sqrt(dk)
+    scores = jnp.where(valid[:, None, :], scores, MASK_MIN)
+    attn = jax.nn.softmax(scores, axis=-1)
+    attn = jnp.where(valid[:, None, :], attn, 0.0)
+    out = jnp.einsum("nht,nthd->nhd", attn, vh,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(n, d)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2,))
+def decoder_step(
+    params: Params,
+    pe: jnp.ndarray,
+    cache: DecoderCache,
+    mem_cache: MemoryCache,
+    tokens: jnp.ndarray,       # (N,) last token of each hypothesis
+    pos: jnp.ndarray,          # (N,) position index of that token (= len-1)
+    enc_len: jnp.ndarray,      # (N,) valid encoder frames per hypothesis
+    stream_idx: jnp.ndarray,   # (N,) stream id per hypothesis
+    cfg: ModelConfig,
+) -> Tuple[jnp.ndarray, DecoderCache]:
+    """Score the next token for N hypotheses.
+
+    Returns (log-probs (N, vocab), updated cache). Numerically equivalent to
+    reference forward_one_step (transformer_decoder.py:210-251).
+    """
+    n = tokens.shape[0]
+    d = cfg.decoder_dim
+    lmax = cfg.max_tokens
+    tmax = mem_cache.k.shape[2]
+
+    x = params["embed"]["weight"][tokens] * math.sqrt(d) + pe[pos]  # (N, d)
+
+    self_valid = jnp.arange(lmax)[None, :] <= pos[:, None]          # (N, Lmax)
+    mem_valid = jnp.arange(tmax)[None, :] < enc_len[:, None]        # (N, Tmax)
+    pos_onehot = jax.nn.one_hot(pos, lmax, dtype=x.dtype)           # (N, Lmax)
+
+    def body(carry, layer_in):
+        h = carry  # (N, d)
+        p_layer, k_l, v_l, mk_l, mv_l = layer_in
+        # Self-attention with KV cache.
+        residual = h
+        hn = layer_norm(p_layer["norm1"], h)
+        k_new = linear(p_layer["self_attn"]["linear_k"], hn)
+        v_new = linear(p_layer["self_attn"]["linear_v"], hn)
+        keep = (1.0 - pos_onehot)[:, :, None]
+        k_l = k_l * keep + pos_onehot[:, :, None] * k_new[:, None, :]
+        v_l = v_l * keep + pos_onehot[:, :, None] * v_new[:, None, :]
+        q = linear(p_layer["self_attn"]["linear_q"], hn)
+        att = _attend_cached(q, k_l, v_l, self_valid, cfg.decoder_heads)
+        h = residual + linear(p_layer["self_attn"]["linear_out"], att)
+        # Cross-attention over cached memory K/V.
+        residual = h
+        hn = layer_norm(p_layer["norm2"], h)
+        q = linear(p_layer["src_attn"]["linear_q"], hn)
+        mk = mk_l[stream_idx]  # (N, Tmax, d)
+        mv = mv_l[stream_idx]
+        att = _attend_cached(q, mk, mv, mem_valid, cfg.decoder_heads)
+        h = residual + linear(p_layer["src_attn"]["linear_out"], att)
+        # FFN.
+        residual = h
+        hn = layer_norm(p_layer["norm3"], h)
+        h = residual + feed_forward(p_layer["feed_forward"], hn)
+        return h, (k_l, v_l)
+
+    (h, (new_k, new_v)) = jax.lax.scan(
+        body, x, (params["layers"], cache.k, cache.v, mem_cache.k, mem_cache.v)
+    )
+    if cfg.normalize_before:
+        h = layer_norm(params["after_norm"], h)
+    logits = linear(params["output_layer"], h)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return logp, DecoderCache(k=new_k, v=new_v)
+
+
+@jax.jit
+def reorder_cache(cache: DecoderCache, src_idx: jnp.ndarray) -> DecoderCache:
+    """Gather cache rows after beam pruning (src_idx: (N,) source hyp ids)."""
+    return DecoderCache(k=cache.k[:, src_idx], v=cache.v[:, src_idx])

@@ -1,0 +1,192 @@
+"""Functional transformer building blocks.
+
+Pure functions over parameter pytrees (plain dicts of jnp arrays). Parameter
+layouts intentionally follow torch conventions — Linear weights are (out, in),
+Conv2d weights are (out_ch, in_ch, kh, kw) — so that the ESPnet checkpoint
+converter (speechcatcher_tpu/checkpoint.py) is a near-identity mapping.
+
+Behavioral contracts replicated from the reference:
+- LayerNorm eps = 1e-12 (ESPnet convention,
+  /root/reference/speechcatcher/model/layers/normalization.py).
+- FFN = Linear→ReLU→Linear
+  (/root/reference/speechcatcher/model/layers/feed_forward.py).
+- MHA softmax with masked_fill(min) before and zero-fill after softmax so a
+  fully-masked query row outputs exactly 0
+  (/root/reference/speechcatcher/model/attention/multi_head_attention.py:113-133).
+- Sinusoidal PE scaled by sqrt(d), table layout identical to
+  /root/reference/speechcatcher/model/layers/positional_encoding.py:40-49.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, jnp.ndarray]
+
+LAYERNORM_EPS = 1e-12
+MASK_MIN = float(np.finfo(np.float32).min)
+
+
+# ---------------------------------------------------------------------------
+# Primitive layers
+# ---------------------------------------------------------------------------
+
+def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """x @ W^T + b with torch-layout weight (out, in)."""
+    y = jnp.einsum("...i,oi->...o", x, p["weight"],
+                   preferred_element_type=jnp.float32)
+    if "bias" in p:
+        y = y + p["bias"]
+    return y
+
+
+def layer_norm(p: Params, x: jnp.ndarray, eps: float = LAYERNORM_EPS) -> jnp.ndarray:
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    xhat = (x - mean) * jax.lax.rsqrt(var + eps)
+    return xhat * p["weight"] + p["bias"]
+
+
+def feed_forward(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """Position-wise FFN: w_2(relu(w_1(x)))."""
+    h = jax.nn.relu(linear(p["w_1"], x))
+    return linear(p["w_2"], h)
+
+
+# ---------------------------------------------------------------------------
+# Multi-head attention
+# ---------------------------------------------------------------------------
+
+def mha_project(p: Params, x: jnp.ndarray, name: str, n_head: int) -> jnp.ndarray:
+    """(B, T, d) → (B, H, T, d_k) through a torch-layout Linear."""
+    b, t, d = x.shape
+    y = linear(p[name], x)
+    return y.reshape(b, t, n_head, d // n_head).transpose(0, 2, 1, 3)
+
+
+def scaled_dot_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+) -> jnp.ndarray:
+    """(B,H,Tq,dk) x (B,H,Tk,dk) attention with reference mask semantics.
+
+    mask: broadcastable to (B, 1, Tq, Tk); nonzero = attend. Fully-masked
+    rows produce exactly zero output (softmax then zero-fill), matching
+    multi_head_attention.py:117-122.
+    """
+    d_k = q.shape[-1]
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) / math.sqrt(d_k)
+    if mask is not None:
+        keep = mask != 0
+        scores = jnp.where(keep, scores, MASK_MIN)
+        attn = jax.nn.softmax(scores, axis=-1)
+        attn = jnp.where(keep, attn, 0.0)
+    else:
+        attn = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", attn, v,
+                      preferred_element_type=jnp.float32)
+
+
+def multi_head_attention(
+    p: Params,
+    query: jnp.ndarray,
+    key: jnp.ndarray,
+    value: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    n_head: int,
+) -> jnp.ndarray:
+    """Full MHA: project, attend, merge heads, output projection.
+
+    mask: (B, Tq, Tk) or (B, 1, Tk), nonzero = attend (reference semantics:
+    the (batch, tq, tk) mask is unsqueezed to (batch, 1, tq, tk)).
+    """
+    b = query.shape[0]
+    q = mha_project(p, query, "linear_q", n_head)
+    k = mha_project(p, key, "linear_k", n_head)
+    v = mha_project(p, value, "linear_v", n_head)
+    if mask is not None and mask.ndim == 3:
+        mask = mask[:, None, :, :]
+    x = scaled_dot_attention(q, k, v, mask)
+    x = x.transpose(0, 2, 1, 3).reshape(b, -1, p["linear_out"]["weight"].shape[1])
+    return linear(p["linear_out"], x)
+
+
+# ---------------------------------------------------------------------------
+# Positional encoding
+# ---------------------------------------------------------------------------
+
+def sinusoidal_pe_table(d_model: int, max_len: int = 5000) -> np.ndarray:
+    """(max_len, d_model) float32 PE table (positional_encoding.py:40-49)."""
+    pe = np.zeros((max_len, d_model), dtype=np.float32)
+    position = np.arange(max_len, dtype=np.float32)[:, None]
+    div_term = np.exp(
+        np.arange(0, d_model, 2, dtype=np.float32)
+        * -(math.log(10000.0) / d_model)
+    )
+    pe[:, 0::2] = np.sin(position * div_term)
+    pe[:, 1::2] = np.cos(position * div_term)
+    return pe
+
+
+def add_positional_encoding(
+    x: jnp.ndarray, pe_table: jnp.ndarray, offset
+) -> jnp.ndarray:
+    """x * sqrt(d) + pe[offset : offset+T]; offset may be a traced scalar.
+
+    Using lax.dynamic_slice keeps a changing stream offset from triggering
+    recompilation.
+    """
+    d_model = x.shape[-1]
+    t = x.shape[-2]
+    pe = jax.lax.dynamic_slice_in_dim(pe_table, offset, t, axis=0)
+    return x * math.sqrt(d_model) + pe
+
+
+# ---------------------------------------------------------------------------
+# Parameter initializers (for tests / random models; checkpoints override)
+# ---------------------------------------------------------------------------
+
+def init_linear(key, d_in: int, d_out: int, bias: bool = True) -> Params:
+    k1, _ = jax.random.split(key)
+    bound = 1.0 / math.sqrt(d_in)
+    p = {
+        "weight": jax.random.uniform(
+            k1, (d_out, d_in), minval=-bound, maxval=bound, dtype=jnp.float32
+        )
+    }
+    if bias:
+        p["bias"] = jnp.zeros((d_out,), dtype=jnp.float32)
+    return p
+
+
+def init_layer_norm(d: int) -> Params:
+    return {
+        "weight": jnp.ones((d,), dtype=jnp.float32),
+        "bias": jnp.zeros((d,), dtype=jnp.float32),
+    }
+
+
+def init_mha(key, d_model: int) -> Params:
+    keys = jax.random.split(key, 4)
+    return {
+        "linear_q": init_linear(keys[0], d_model, d_model),
+        "linear_k": init_linear(keys[1], d_model, d_model),
+        "linear_v": init_linear(keys[2], d_model, d_model),
+        "linear_out": init_linear(keys[3], d_model, d_model),
+    }
+
+
+def init_ffn(key, d_model: int, d_hidden: int) -> Params:
+    k1, k2 = jax.random.split(key)
+    return {
+        "w_1": init_linear(k1, d_model, d_hidden),
+        "w_2": init_linear(k2, d_hidden, d_model),
+    }
