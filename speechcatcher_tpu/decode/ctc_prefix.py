@@ -1,0 +1,323 @@
+"""Vectorized streaming CTC prefix scorer.
+
+Exact reimplementation of the math in the reference CTCPrefixScoreTH
+(/root/reference/speechcatcher/beam_search/ctc_prefix_score_full.py), itself
+ESPnet's batch CTC prefix scorer (Watanabe et al., hybrid CTC/attention),
+restructured for TPU:
+
+1. **Scores need no recursion.** log_psi(h·c) = lse_t(phi[t-1] + x_n[t,c])
+   ⊕ r_init — every term derives from the *previous* step's forward
+   variables r_prev (reference :249-281). Scoring K candidates is one
+   elementwise pass + masked logsumexp over frames, fully parallel on the
+   VPU, instead of the reference's per-frame Python loop (:229-246).
+2. **Recursion only for survivors.** The O(T) forward recursion producing
+   the next-step state r runs only for the B chosen extensions per stream
+   (not B·K candidates), expressed as a log-semiring matrix associative
+   scan — O(log T) depth on TPU.
+
+State per stream: the CTC log-prob ring (S, Tcap, V) and per-hypothesis
+forward variables r (S, B, Tcap, 2) + scalar prefix score s (S, B). All
+fixed-shape; frame validity is carried by enc_len.
+
+logzero = -1e10 (fp32), matching reference :54-58.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+LOGZERO = -1.0e10
+
+
+class CTCScorerState(NamedTuple):
+    """Device-resident scorer state for a batch of streams."""
+
+    logp: jnp.ndarray     # (S, Tcap, V) CTC log-softmax outputs
+    enc_len: jnp.ndarray  # (S,) valid frames
+    r: jnp.ndarray        # (S, B, Tcap, 2) forward vars [non-blank, blank]
+    s: jnp.ndarray        # (S, B) prefix scores
+
+
+def init_ctc_state(
+    n_streams: int, beam: int, t_cap: int, vocab: int
+) -> CTCScorerState:
+    return CTCScorerState(
+        logp=jnp.zeros((n_streams, t_cap, vocab)),
+        enc_len=jnp.zeros((n_streams,), jnp.int32),
+        r=jnp.full((n_streams, beam, t_cap, 2), LOGZERO),
+        s=jnp.zeros((n_streams, beam)),
+    )
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def ctc_extend(
+    state: CTCScorerState,
+    new_logp: jnp.ndarray,   # (S, Tnew, V) log-probs of NEW frames
+    active: jnp.ndarray,     # (S,) bool — streams that actually got frames
+) -> CTCScorerState:
+    """extend_prob + extend_state (reference :293-368).
+
+    Appends new frames to the log-prob ring and continues the cumulative-
+    blank recursion r_b[t] = r_b[t-1] + x_blank[t] into the new frames for
+    every hypothesis (r_n stays logzero there).
+    """
+    s_dim, t_cap, vocab = state.logp.shape
+    t_new = new_logp.shape[1]
+
+    old_len = state.enc_len
+    pos = old_len[:, None] + jnp.arange(t_new)[None, :]        # (S, Tnew)
+    pos = jnp.clip(pos, 0, t_cap - 1)
+    onehot = jax.nn.one_hot(pos, t_cap, dtype=state.logp.dtype)  # (S,Tnew,Tcap)
+    onehot = onehot * active[:, None, None]
+    written = jnp.clip(onehot.sum(axis=1), 0.0, 1.0)             # (S, Tcap)
+    logp = state.logp * (1.0 - written[:, :, None]) + jnp.einsum(
+        "stv,stm->smv", new_logp, onehot
+    )
+
+    new_len = jnp.where(active, old_len + t_new, old_len)
+
+    # Continue cumulative blank into [old_len, new_len).
+    xb = logp[:, :, 0]                                           # (S, Tcap)
+    t_idx = jnp.arange(t_cap)[None, :]
+    in_new = (t_idx >= old_len[:, None]) & (t_idx < new_len[:, None])
+    cxb = jnp.cumsum(jnp.where(t_idx < new_len[:, None], xb, 0.0), axis=1)
+    # base: r_b at old_len-1 (0 cumulative when old_len == 0).
+    base_cxb = jnp.where(
+        old_len > 0,
+        jnp.take_along_axis(
+            cxb, jnp.maximum(old_len - 1, 0)[:, None], axis=1
+        )[:, 0],
+        0.0,
+    )  # (S,)
+    r_base = jnp.where(
+        old_len > 0,
+        jnp.take_along_axis(
+            state.r[:, :, :, 1],
+            jnp.maximum(old_len - 1, 0)[:, None, None],
+            axis=2,
+        )[:, :, 0],
+        0.0,
+    )  # (S, B)
+    new_rb = r_base[:, :, None] + (cxb[:, None, :] - base_cxb[:, None, None])
+    r1 = jnp.where(in_new[:, None, :], new_rb, state.r[:, :, :, 1])
+    r0 = jnp.where(in_new[:, None, :], LOGZERO, state.r[:, :, :, 0])
+    r = jnp.stack([r0, r1], axis=-1)
+
+    return CTCScorerState(logp=logp, enc_len=new_len, r=r, s=state.s)
+
+
+def reset_ctc_streams(state: CTCScorerState, reset: jnp.ndarray) -> CTCScorerState:
+    """Zero out streams flagged in reset (S,) bool — new utterance."""
+    m = reset[:, None, None]
+    return CTCScorerState(
+        logp=jnp.where(m, 0.0, state.logp),
+        enc_len=jnp.where(reset, 0, state.enc_len),
+        r=jnp.where(reset[:, None, None, None], LOGZERO, state.r),
+        s=jnp.where(reset[:, None], 0.0, state.s),
+    )
+
+
+def _logaddexp(a, b):
+    mx = jnp.maximum(a, b)
+    mn = jnp.minimum(a, b)
+    return mx + jnp.log1p(jnp.exp(jnp.maximum(mn - mx, -60.0)))
+
+
+@functools.partial(jax.jit, static_argnames=("blank", "eos"))
+def ctc_score_candidates(
+    state: CTCScorerState,
+    last_ids: jnp.ndarray,   # (S, B) last token of each hypothesis
+    olen: jnp.ndarray,       # (S,) output length (tokens excl. SOS)
+    cand_ids: jnp.ndarray,   # (S, B, K) candidate tokens (decoder pre-beam)
+    blank: int = 0,
+    eos: int = 0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Candidate prefix scores without recursion.
+
+    Returns (scores (S,B,V): log_psi - s_prev with logzero at non-candidates,
+    log_psi (S,B,V)) — semantics of reference __call__ :249-291.
+    """
+    s_dim, beam, t_cap, vocab = (
+        state.logp.shape[0],
+        state.r.shape[1],
+        state.logp.shape[1],
+        state.logp.shape[2],
+    )
+    k = cand_ids.shape[-1]
+    t_idx = jnp.arange(t_cap)
+
+    r_sum = jax.nn.logsumexp(state.r, axis=-1)                  # (S, B, T)
+
+    # phi[t, c] = r_sum[t], except c == last_id -> r_b[t] (reference :194-207)
+    is_last = cand_ids == last_ids[:, :, None]                  # (S, B, K)
+    phi = jnp.where(
+        is_last[:, :, None, :],
+        state.r[:, :, :, 1][:, :, :, None],
+        r_sum[:, :, :, None],
+    )                                                            # (S, B, T, K)
+
+    # x_n for candidates: gather (S, T, K') per hyp.
+    xn_c = jnp.take_along_axis(
+        state.logp[:, None, :, :].repeat(beam, axis=1),
+        cand_ids[:, :, None, :].repeat(t_cap, axis=2),
+        axis=-1,
+    )                                                            # (S, B, T, K)
+
+    start = jnp.minimum(jnp.maximum(olen, 1), t_cap)             # (S,)
+    end = state.enc_len                                          # (S,)
+    in_range = (t_idx[None, :] >= start[:, None]) & (
+        t_idx[None, :] < end[:, None]
+    )                                                            # (S, T)
+
+    # phi[t-1] + xn[t] summed over t in [start, end).
+    phi_shift = jnp.concatenate(
+        [jnp.full_like(phi[:, :, :1, :], LOGZERO), phi[:, :, :-1, :]], axis=2
+    )
+    terms = jnp.where(
+        in_range[:, None, :, None], phi_shift + xn_c, LOGZERO
+    )
+    # ⊕ r_init: r[start-1, 0] = xn_c[0] iff olen == 0 (reference :186-188).
+    init_term = jnp.where(
+        (olen == 0)[:, None, None], xn_c[:, :, 0, :], LOGZERO
+    )                                                            # (S, B, K)
+    log_psi_c = jax.nn.logsumexp(
+        jnp.concatenate([terms, init_term[:, :, None, :]], axis=2), axis=2
+    )                                                            # (S, B, K)
+
+    # Scatter candidates into the vocab axis (non-candidates stay logzero).
+    # NB: additive offset tricks with LOGZERO=-1e10 lose all precision in
+    # fp32 — scatter with an explicit mask instead.
+    onehot = jax.nn.one_hot(cand_ids, vocab, dtype=log_psi_c.dtype)
+    scattered = jnp.einsum("sbk,sbkv->sbv", log_psi_c, onehot)
+    is_cand = jnp.sum(onehot, axis=2) > 0                        # (S, B, V)
+    log_psi = jnp.where(is_cand, scattered, LOGZERO)             # (S, B, V)
+
+    # EOS score = r_sum at the final frame (reference :284-285).
+    end_frame = jnp.maximum(end - 1, 0)
+    eos_score = jnp.take_along_axis(
+        r_sum, end_frame[:, None, None], axis=2
+    )[:, :, 0]                                                   # (S, B)
+    log_psi = log_psi.at[:, :, eos].set(eos_score)
+    log_psi = log_psi.at[:, :, blank].set(LOGZERO)
+
+    return log_psi - state.s[:, :, None], log_psi
+
+
+@functools.partial(jax.jit, static_argnames=())
+def ctc_advance_state(
+    state: CTCScorerState,
+    log_psi: jnp.ndarray,    # (S, B, V) from ctc_score_candidates
+    src_idx: jnp.ndarray,    # (S, B) source hypothesis per surviving beam slot
+    chosen: jnp.ndarray,     # (S, B) token chosen for each surviving slot
+    cand_ids: jnp.ndarray,   # (S, B, K) the candidate set that was scored
+    last_ids: jnp.ndarray,   # (S, B) last tokens BEFORE this step
+    olen: jnp.ndarray,       # (S,) output length BEFORE this step
+) -> CTCScorerState:
+    """Forward recursion for the B survivors (reference :229-246 +
+    index_select_state :370-414), as a log-semiring associative scan.
+
+    Replicates the reference quirk: a chosen token outside the candidate set
+    (possible for EOS) takes candidate slot 0's forward variables (:404-405).
+    """
+    s_dim, beam, t_cap, _ = state.r.shape
+
+    take = lambda a, i: jnp.take_along_axis(a, i, axis=1)
+    r_src = take(state.r, src_idx[:, :, None, None].repeat(t_cap, 2)
+                 .repeat(2, 3))                                  # (S,B,T,2)
+    last_src = take(last_ids, src_idx)                           # (S, B)
+    cand_src = take(cand_ids, src_idx[:, :, None].repeat(
+        cand_ids.shape[-1], 2))                                  # (S, B, K)
+
+    # s_new = log_psi[src, chosen] (select_state :415).
+    psi_src = take(log_psi, src_idx[:, :, None].repeat(log_psi.shape[-1], 2))
+    s_new = jnp.take_along_axis(psi_src, chosen[:, :, None], axis=2)[:, :, 0]
+
+    # Token whose forward vars we compute: chosen if it was a candidate,
+    # else candidate slot 0 (reference :399-406).
+    in_cands = jnp.any(cand_src == chosen[:, :, None], axis=-1)  # (S, B)
+    token_r = jnp.where(in_cands, chosen, cand_src[:, :, 0])     # (S, B)
+
+    r_sum = jax.nn.logsumexp(r_src, axis=-1)                     # (S, B, T)
+    phi = jnp.where(
+        (token_r == last_src)[:, :, None], r_src[:, :, :, 1], r_sum
+    )                                                            # (S, B, T)
+
+    xn = jnp.take_along_axis(
+        state.logp[:, None, :, :].repeat(beam, axis=1),
+        token_r[:, :, None, None].repeat(t_cap, axis=2),
+        axis=-1,
+    )[:, :, :, 0]                                                # (S, B, T)
+    xb = state.logp[:, None, :, 0]                               # (S, 1, T)
+    xb = jnp.broadcast_to(xb, xn.shape)
+
+    start = jnp.minimum(jnp.maximum(olen, 1), t_cap)             # (S,)
+    end = state.enc_len
+    t_idx = jnp.arange(t_cap)
+    in_rec = (t_idx[None, :] >= start[:, None]) & (
+        t_idx[None, :] < end[:, None]
+    )                                                            # (S, T)
+    in_rec = jnp.broadcast_to(in_rec[:, None, :], xn.shape)
+
+    # Init value at t (the "stored" value for t < start): the reference
+    # reallocates r fresh each step — t < start rows are logzero except
+    # r[0,0] = xn[0] when olen == 0 (reference :179-188).
+    init_rn = jnp.where(
+        ((olen == 0)[:, None, None]) & (t_idx[None, None, :] == 0),
+        xn[:, :, 0:1],
+        LOGZERO,
+    )
+    init_rb = jnp.full_like(init_rn, LOGZERO)
+
+    phi_shift = jnp.concatenate(
+        [jnp.full_like(phi[:, :, :1], LOGZERO), phi[:, :, :-1]], axis=2
+    )
+
+    # Log-semiring affine recursion as 3x3 matrices over state [rn, rb, 1]:
+    #   rn[t] = (rn[t-1] ⊕ phi[t-1]) + xn[t]
+    #   rb[t] = (rn[t-1] ⊕ rb[t-1]) + xb[t]
+    # Out-of-range steps are "reset" matrices that emit the init values.
+    nz = jnp.full_like(xn, LOGZERO)
+    z = jnp.zeros_like(xn)
+    rec_mat = jnp.stack(
+        [
+            jnp.stack([xn, nz, xn + phi_shift], axis=-1),
+            jnp.stack([xb, xb, nz], axis=-1),
+            jnp.stack([nz, nz, z], axis=-1),
+        ],
+        axis=-2,
+    )                                                            # (S,B,T,3,3)
+    reset_mat = jnp.stack(
+        [
+            jnp.stack([nz, nz, init_rn], axis=-1),
+            jnp.stack([nz, nz, init_rb], axis=-1),
+            jnp.stack([nz, nz, z], axis=-1),
+        ],
+        axis=-2,
+    )
+    mats = jnp.where(in_rec[..., None, None], rec_mat, reset_mat)
+
+    def log_matmul(a, b):
+        # fn(acc_left, elem_right) = elem_right · acc_left in the (lse, +)
+        # semiring: out[i, j] = lse_k(b[i, k] + a[k, j]). Later time steps
+        # multiply on the left, keeping the fold associative.
+        return jax.nn.logsumexp(
+            b[..., :, :, None] + a[..., None, :, :], axis=-2
+        )
+
+    prefix = jax.lax.associative_scan(log_matmul, mats, axis=2)
+    # Apply to v_init = [logzero, logzero, 0]: result = prefix[..., :, 2].
+    rn_traj = prefix[..., 0, 2]
+    rb_traj = prefix[..., 1, 2]
+    r_new = jnp.stack([rn_traj, rb_traj], axis=-1)               # (S,B,T,2)
+    # Keep anything at/after end untouched from the source hyp (those frames
+    # hold extend-filled cumulative blanks for FUTURE frames — none yet).
+    valid = (t_idx[None, :] < end[:, None])[:, None, :, None]
+    r_new = jnp.where(valid, r_new, r_src)
+
+    return CTCScorerState(
+        logp=state.logp, enc_len=state.enc_len, r=r_new, s=s_new
+    )
