@@ -151,7 +151,7 @@ def tiny_config(**overrides: Any) -> ModelConfig:
         hop_size=4,
         look_ahead=2,
         max_enc_frames=256,
-        max_tokens=64,
+        max_tokens=160,
     )
     kwargs.update(overrides)
     return ModelConfig(**kwargs)

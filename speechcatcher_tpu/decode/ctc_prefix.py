@@ -53,7 +53,8 @@ def init_ctc_state(
     )
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
+# NB: no buffer donation — rewind keeps references to prior state snapshots.
+@jax.jit
 def ctc_extend(
     state: CTCScorerState,
     new_logp: jnp.ndarray,   # (S, Tnew, V) log-probs of NEW frames

@@ -153,7 +153,7 @@ def init_memory_cache(cfg: ModelConfig, n_streams: int) -> MemoryCache:
     return MemoryCache(k=jnp.zeros(shape), v=jnp.zeros(shape))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(1,))
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def extend_memory_cache(
     params: Params,
     mem_cache: MemoryCache,
@@ -204,7 +204,9 @@ def _attend_cached(
     return out.reshape(n, d)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2,))
+# NB: no buffer donation — beam-search rewind/rollback keeps references to
+# previous cache snapshots (free under JAX immutability).
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def decoder_step(
     params: Params,
     pe: jnp.ndarray,

@@ -132,5 +132,11 @@ class Frontend:
             hop=self.hop_length,
         )
 
+    def normalize_only(self, feats: jnp.ndarray) -> jnp.ndarray:
+        """MVN for pre-computed features (T, n_mels) → (1, T, n_mels)."""
+        if feats.ndim == 2:
+            feats = feats[None, :, :]
+        return (feats - self.mean) * self.inv_std
+
     def n_frames(self, n_samples: int) -> int:
         return 1 + n_samples // self.hop_length
