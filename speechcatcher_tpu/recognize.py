@@ -1,0 +1,370 @@
+"""Batch/file/microphone recognition pipeline + CLI.
+
+Counterpart of /root/reference/speechcatcher/speechcatcher.py: model-tag
+registry, load_model, media-file decoding with energy segmentation, paragraph
+merging with sentence-completion checks, token timestamps, .txt/.json output,
+and live microphone transcription with plateau endpointing.
+
+TPU deviations (documented):
+- Segment parallelism: the reference forks one OS process per audio segment
+  (speechcatcher.py:481-497). Here segments decode as streams of a batched
+  device session (serial fallback in this entry point; the server does true
+  batching) — one weight copy, no fork.
+- Timestamps: the reference divides beam-step positions by an empirical
+  24.0 (speechcatcher.py:48,509). Our xpos are exact encoder frame indices,
+  converted by the true frame duration (subsample·hop/rate = 40 ms).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import math
+import sys
+from pathlib import Path
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from speechcatcher_tpu.endpointing import segment_speech
+from speechcatcher_tpu.streaming import Speech2TextStreaming
+from speechcatcher_tpu.utils.audio import convert_media
+
+logger = logging.getLogger(__name__)
+
+# Model-tag registry (reference speechcatcher.py:50-57).
+tags = {
+    "de_streaming_transformer_m": "speechcatcher/speechcatcher_german_espnet_streaming_transformer_13k_train_size_m_raw_de_bpe1024",
+    "de_streaming_transformer_l": "speechcatcher/speechcatcher_german_espnet_streaming_transformer_13k_train_size_l_raw_de_bpe1024",
+    "de_streaming_transformer_xl": "speechcatcher/speechcatcher_german_espnet_streaming_transformer_26k_train_size_xl_raw_de_bpe1024",
+    "es_streaming_transformer_m": "speechcatcher/wordcab_speechcatcher_spanish_espnet_streaming_transformer_35k_train_size_m_raw_es_bpe1024",
+    "es_streaming_transformer_l": "speechcatcher/wordcab_speechcatcher_spanish_espnet_streaming_transformer_35k_train_size_l_raw_es_bpe1024",
+    "en_streaming_transformer_m": "speechcatcher/wordcab_speechcatcher_english_espnet_streaming_transformer_35k_train_size_m_raw_en_bpe1024",
+    "en_streaming_transformer_l": "speechcatcher/wordcab_speechcatcher_english_espnet_streaming_transformer_35k_train_size_l_raw_en_bpe1024",
+}
+
+
+def load_model(
+    tag: str,
+    device: str = "tpu",
+    beam_size: int = 5,
+    quiet: bool = False,
+    cache_dir: str = "~/.cache/speechcatcher_tpu",
+    decoder_impl: str = "tpu",   # accepted for API compat; single decoder
+    fp16: bool = False,          # bf16 is the native compute dtype
+    use_bbd: bool = True,
+) -> Speech2TextStreaming:
+    """Resolve a tag/path/URL to a ready streaming session
+    (reference speechcatcher.py:126-227)."""
+    from speechcatcher_tpu.utils.zoo import download_and_unpack
+
+    resolved = tags.get(tag, tag)
+    model_dir = download_and_unpack(resolved, cache_dir=Path(cache_dir).expanduser(),
+                                    quiet=quiet)
+    if not quiet:
+        print(f"Loading model from {model_dir}")
+    return Speech2TextStreaming(
+        model_dir=model_dir,
+        beam_size=beam_size,
+        ctc_weight=0.3,
+        use_bbd=use_bbd,
+    )
+
+
+def is_completed(utterance: str) -> bool:
+    return utterance.endswith((".", "?", "!"))
+
+
+def upper_case_first_letter(text: str) -> str:
+    if text and text[0].islower():
+        return text[0].upper() + text[1:]
+    return text
+
+
+def _decode_segment(
+    s2t: Speech2TextStreaming,
+    speech: np.ndarray,
+    start_sample: int,
+    end_sample: int,
+    chunk_length: int,
+) -> Tuple[str, List[str], List[float]]:
+    """Stream one segment through the session; returns (text, tokens,
+    timestamps-in-seconds relative to segment start)."""
+    s2t.reset()
+    results: List = []
+    pos = start_sample
+    frame_sec = (
+        s2t.cfg.hop_length * s2t.cfg.subsample / s2t.cfg.sample_rate
+    )
+    while pos < end_sample:
+        chunk = speech[pos : min(pos + chunk_length, end_sample)]
+        is_final = pos + chunk_length >= end_sample
+        results = s2t(chunk, is_final=is_final, finalize_all=True,
+                      always_assemble_hyps=False)
+        pos += chunk_length
+    if not results:
+        return "", [], []
+    text, tokens, _ids, token_pos = results[0]
+    return text, tokens, [p * frame_sec for p in token_pos]
+
+
+def recognize(
+    s2t: Speech2TextStreaming,
+    raw_speech_data: np.ndarray,
+    rate: int,
+    chunk_length: int = 8192,
+    num_processes: int = 1,
+    progress: bool = True,
+    quiet: bool = False,
+    status=None,
+    decoder_impl: str = "tpu",
+):
+    """Transcribe int16 PCM → (complete_text, auxiliary_info)
+    (reference speechcatcher.py:414-570)."""
+    assert rate == 16000
+    speech = raw_speech_data.astype(np.float32) / 32767.0
+    total_sec = len(speech) / rate
+
+    # Energy segmentation of long audio (reference :429-446).
+    boundaries_sec = [0.0]
+    if len(speech) > 60.0 * rate:
+        segments = segment_speech(raw_speech_data, rate)
+        ends = [
+            seg[1] / 100.0
+            for seg in segments
+            if seg[1] < (total_sec - 10.0) * 100.0
+        ]
+        boundaries_sec += ends
+    boundaries_sec.append(total_sec)
+    spans = list(zip(boundaries_sec[:-1], boundaries_sec[1:]))
+
+    paragraphs: List[Tuple[str, List[str], List[float]]] = []
+    it = spans
+    if progress and not quiet:
+        try:
+            from tqdm import tqdm
+
+            it = tqdm(spans, desc="Transcribing")
+        except ImportError:
+            pass
+    for seg_start, seg_end in it:
+        text, toks, ts = _decode_segment(
+            s2t,
+            speech,
+            int(seg_start * rate),
+            int(seg_end * rate),
+            chunk_length,
+        )
+        paragraphs.append((text, toks, [seg_start + t for t in ts]))
+        if status is not None:
+            pct = 100.0 * seg_end / total_sec
+            status.publish_status(f"Decoding progress: {pct:.2f}%")
+
+    # Paragraph merging (reference :519-568): only split where the model
+    # also ended a sentence.
+    merged: List[str] = []
+    aux: List[dict] = []
+    for (text, toks, ts), (seg_start, seg_end) in zip(paragraphs, spans):
+        if merged and not is_completed(merged[-1]):
+            merged[-1] += " " + text
+            aux[-1]["end"] = seg_end
+            aux[-1]["text"] += " " + text
+            aux[-1]["tokens"].extend(toks)
+            aux[-1]["token_timestamps"].extend(ts)
+        else:
+            text = upper_case_first_letter(text)
+            merged.append(text)
+            aux.append(
+                {
+                    "start": seg_start,
+                    "end": seg_end,
+                    "text": text,
+                    "tokens": toks,
+                    "token_timestamps": ts,
+                }
+            )
+
+    complete_text = "\n\n".join(merged) + "\n"
+    return complete_text, aux
+
+
+def recognize_file(
+    s2t: Speech2TextStreaming,
+    media_path: str,
+    output_file: str = "",
+    quiet: bool = True,
+    progress: bool = True,
+    num_processes: int = 1,
+    chunk_length: int = 8192,
+    decoder_impl: str = "tpu",
+    show_ffmpeg_output: bool = False,
+) -> dict:
+    """Decode a media file; write <name>.txt and <name>.json
+    (reference speechcatcher.py:358-402)."""
+    data, rate = convert_media(Path(media_path), show_output=show_ffmpeg_output)
+    complete_text, aux = recognize(
+        s2t, data, rate, chunk_length=chunk_length, progress=progress,
+        quiet=quiet,
+    )
+
+    if output_file == "":
+        base = media_path.split("/")[-1] if media_path.startswith(
+            ("http://", "https://")
+        ) else media_path
+        out_txt, out_json = base + ".txt", base + ".json"
+    else:
+        out_txt, out_json = output_file + ".txt", output_file + ".json"
+
+    with open(out_txt, "w") as f:
+        f.write(complete_text)
+    complete = {"complete_text": complete_text, "paragraphs": aux}
+    with open(out_json, "w") as f:
+        json.dump(complete, f, indent=4, ensure_ascii=False)
+    print(f"Wrote transcription to {out_txt} and {out_json}.")
+    return complete
+
+
+def recognize_microphone(
+    s2t: Speech2TextStreaming,
+    tag: str,
+    record_max_seconds: float = 120,
+    samplerate: int = 16000,
+    chunksize: int = 8192,
+    save_debug_wav: bool = False,
+    exception_on_pyaudio_overflow: bool = True,
+    finalize_update_iters: int = 7,
+):
+    """Live microphone transcription with plateau endpointing
+    (reference speechcatcher.py:682-753). Requires pyaudio."""
+    try:
+        import pyaudio
+    except ImportError:
+        print("pyaudio is not installed — live transcription unavailable.")
+        sys.exit(1)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    p = pyaudio.PyAudio()
+    stream = p.open(
+        format=pyaudio.paInt16, channels=1, rate=samplerate, input=True,
+        frames_per_buffer=chunksize,
+    )
+    print(f"Model {tag} loaded, starting live transcription.")
+    blocks = []
+    n_best_lens: List[int] = []
+    results = []
+
+    def read_chunk():
+        return stream.read(
+            chunksize, exception_on_overflow=exception_on_pyaudio_overflow
+        )
+
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        fut = ex.submit(read_chunk)
+        for i in range(int(samplerate / chunksize * record_max_seconds) + 1):
+            data = np.frombuffer(fut.result(timeout=2), dtype=np.int16)
+            fut = ex.submit(read_chunk)
+            if save_debug_wav:
+                blocks.append(data)
+            audio = data.astype(np.float32) / 32767.0
+
+            finalize = False
+            if len(n_best_lens) >= finalize_update_iters:
+                if all(x == n_best_lens[-1] for x in n_best_lens[-10:]):
+                    finalize = True
+                    n_best_lens = []
+            results = s2t(audio, is_final=finalize)
+            if results:
+                text = results[0][0]
+                n_best_lens.append(len(text))
+                print("\r" + text[-120:], end="", flush=True)
+            if finalize:
+                print()
+
+    if save_debug_wav and blocks:
+        from speechcatcher_tpu.utils.audio import write_wav
+
+        write_wav(Path("debug.wav"), np.concatenate(blocks), samplerate)
+    print("\nMaximum recording time reached, exiting.")
+    return results
+
+
+def main():
+    parser = argparse.ArgumentParser(
+        description="speechcatcher_tpu — decode speech with streaming models on TPU."
+    )
+    parser.add_argument("-l", "--live-transcription", dest="live",
+                        action="store_true",
+                        help="Use microphone for live transcription")
+    parser.add_argument("-t", "--max-record-time", dest="max_record_time",
+                        type=float, default=120)
+    parser.add_argument("-m", "--model", dest="model",
+                        default="de_streaming_transformer_xl",
+                        help="Model tag, HuggingFace id, URL, or local dir")
+    parser.add_argument("-d", "--device", dest="device", default="tpu")
+    parser.add_argument("-b", "--beamsize", dest="beamsize", type=int,
+                        default=5)
+    parser.add_argument("--disable-bbd", dest="disable_bbd",
+                        action="store_true")
+    parser.add_argument("--quiet", dest="quiet", action="store_true")
+    parser.add_argument("--no-progress", dest="no_progress",
+                        action="store_true")
+    parser.add_argument("--save-debug-wav", dest="save_debug_wav",
+                        action="store_true")
+    parser.add_argument("--cache-dir", dest="cache_dir",
+                        default="~/.cache/speechcatcher_tpu")
+    parser.add_argument("-n", "--num-processes", dest="num_processes",
+                        type=int, default=1,
+                        help="Compatibility flag; segments batch on-device")
+    parser.add_argument("--chunk-length", dest="chunk_length", type=int,
+                        default=8192)
+    parser.add_argument("--log-level", dest="log_level", default="ERROR",
+                        choices=["DEBUG", "INFO", "WARNING", "ERROR",
+                                 "CRITICAL"])
+    parser.add_argument("--show-ffmpeg-output", dest="show_ffmpeg_output",
+                        action="store_true")
+    parser.add_argument("inputfile", nargs="?", default="")
+    args = parser.parse_args()
+
+    logging.basicConfig(level=getattr(logging, args.log_level))
+
+    if not args.model.startswith(("http://", "https://")) and not Path(
+        args.model
+    ).exists():
+        if args.model not in tags:
+            print(f"Model {args.model} is not a valid model!")
+            print("Options are:", ", ".join(tags.keys()))
+            sys.exit(-1)
+
+    s2t = load_model(
+        tag=args.model,
+        device=args.device,
+        beam_size=args.beamsize,
+        quiet=args.quiet,
+        cache_dir=args.cache_dir,
+        use_bbd=not args.disable_bbd,
+    )
+
+    if args.live:
+        recognize_microphone(
+            s2t, args.model, record_max_seconds=args.max_record_time,
+            save_debug_wav=args.save_debug_wav,
+        )
+    elif args.inputfile:
+        if not args.inputfile.startswith(("http://", "https://")) and not Path(
+            args.inputfile
+        ).is_file():
+            print(f"Error: input file '{args.inputfile}' does not exist.")
+            sys.exit(-1)
+        recognize_file(
+            s2t, args.inputfile, quiet=args.quiet,
+            progress=not args.no_progress, chunk_length=args.chunk_length,
+            show_ffmpeg_output=args.show_ffmpeg_output,
+        )
+    else:
+        parser.print_help()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,140 @@
+"""End-to-end streaming API tests on a tiny random model + synthetic audio
+(deterministic, no model download — the CI-grade fixture)."""
+
+import types
+
+import numpy as np
+import pytest
+
+from speechcatcher_tpu.config import tiny_config
+from speechcatcher_tpu.models.asr_model import ASRModel
+from speechcatcher_tpu.streaming import Speech2TextStreaming
+
+
+def make_session(seed=0, **kw):
+    cfg = tiny_config()  # full 80-mel frontend, tiny encoder/decoder
+    model = ASRModel.random_init(cfg, seed=seed)
+    return Speech2TextStreaming(model=model, beam_size=3, **kw)
+
+
+def synth_audio(seconds=2.0, rate=16000, seed=0):
+    rng = np.random.RandomState(seed)
+    t = np.arange(int(seconds * rate)) / rate
+    tone = 0.3 * np.sin(2 * np.pi * 440 * t) * (1 + 0.5 * np.sin(2 * np.pi * 3 * t))
+    return (tone + 0.05 * rng.randn(len(t))).astype(np.float32)
+
+
+def test_whole_utterance_recognize():
+    s2t = make_session()
+    results = s2t.recognize(synth_audio(1.5))
+    assert isinstance(results, list)
+    if results:
+        text, tokens, ids, pos = results[0]
+        assert isinstance(text, str)
+        assert len(tokens) == len(ids) == len(pos)
+
+
+def test_chunked_streaming_emits_and_finalizes():
+    s2t = make_session()
+    audio = synth_audio(2.0)
+    chunk = 8192
+    results = []
+    n_chunks = (len(audio) + chunk - 1) // chunk
+    for i in range(n_chunks):
+        is_final = i == n_chunks - 1
+        results = s2t(audio[i * chunk : (i + 1) * chunk], is_final=is_final)
+    assert isinstance(results, list)
+
+
+def test_streaming_deterministic():
+    audio = synth_audio(1.5)
+    outs = []
+    for _ in range(2):
+        s2t = make_session()
+        outs.append(s2t.recognize(audio))
+    assert str(outs[0]) == str(outs[1])
+
+
+def test_reset_between_utterances():
+    s2t = make_session()
+    audio = synth_audio(1.0)
+    r1 = s2t.recognize(audio)
+    r2 = s2t.recognize(audio)
+    assert str(r1) == str(r2)
+
+
+def test_apply_frontend_trimming_matches_reference():
+    """Exact waveform-buffer/trim parity with the reference method
+    (speech2text_streaming.py:278-400), invoked on a shell instance."""
+    torch = pytest.importorskip("torch")
+    from speechcatcher.speech2text_streaming import (
+        Speech2TextStreaming as RefS2T,
+    )
+    from speechcatcher.model.frontend.stft_frontend import STFTFrontend
+
+    ours = make_session()
+    mean = np.zeros(80, np.float32)
+    std = np.ones(80, np.float32)
+
+    ref = RefS2T.__new__(RefS2T)
+    ref.win_length, ref.hop_length = 400, 160
+    ref.dtype = torch.float32
+    ref.device = "cpu"
+    ref.use_amp = False
+    ref.mean, ref.std = mean, std
+    ref.model = types.SimpleNamespace(frontend=STFTFrontend())
+    ref.normalize_features = lambda f: (f - ref.mean) / ref.std
+
+    audio = synth_audio(2.0)
+    chunk = 8192
+    ref_states = None
+    our_states = None
+    n_chunks = (len(audio) + chunk - 1) // chunk
+    for i in range(n_chunks):
+        is_final = i == n_chunks - 1
+        seg = audio[i * chunk : (i + 1) * chunk]
+        with torch.no_grad():
+            rf, _, ref_states = ref.apply_frontend(
+                torch.from_numpy(seg), ref_states, is_final=is_final
+            )
+        of, our_states = ours.apply_frontend(seg, our_states, is_final)
+        assert (rf is None) == (of is None), f"chunk {i}"
+        if rf is not None:
+            np.testing.assert_allclose(
+                np.asarray(of), rf.numpy(), rtol=1e-4, atol=1e-4,
+                err_msg=f"chunk {i}",
+            )
+        if ref_states is None:
+            assert our_states is None
+        else:
+            np.testing.assert_allclose(
+                np.asarray(our_states["waveform_buffer"]),
+                ref_states["waveform_buffer"].numpy(),
+                rtol=1e-6, atol=1e-6,
+            )
+
+
+def test_endpointing_segments_long_audio():
+    from speechcatcher_tpu.endpointing import segment_speech
+
+    rate = 16000
+    rng = np.random.RandomState(0)
+    # 90 s: speech-like noise with silent gaps every 20 s.
+    audio = (rng.randn(90 * rate) * 6000).astype(np.int16)
+    for k in range(1, 5):
+        audio[k * 20 * rate : k * 20 * rate + rate] = 0
+    segs = segment_speech(audio, rate)
+    assert len(segs) >= 1
+    assert segs[0][0] == 0
+    for s, e in segs:
+        assert e - s <= 180 * 100
+
+
+def test_wer_module():
+    from speechcatcher_tpu.wer import word_error_rate
+
+    m = word_error_rate(["hello world foo"], ["hello world foo"])
+    assert m["wer"] == 0.0
+    m = word_error_rate(["a b c d"], ["a x c"])
+    assert m["substitutions"] == 1 and m["deletions"] == 1
+    assert m["wer"] == pytest.approx(0.5)
