@@ -33,6 +33,7 @@ from speechcatcher_tpu.decode.ctc_prefix import (
     CTCScorerState,
     ctc_advance_state,
     ctc_extend,
+    ctc_refill_blank,
     ctc_score_candidates,
     init_ctc_state,
 )
@@ -70,6 +71,21 @@ class StepFlags(NamedTuple):
     best_is_eos: jnp.ndarray   # (S,) best hypothesis ends with EOS
     all_eos: jnp.ndarray       # (S,)
     repetition: jnp.ndarray    # (S,) BBD repetition detected
+
+
+def restore_hypotheses(snapshot: BeamArrays, current: BeamArrays) -> BeamArrays:
+    """Rollback/rewind restore: hypothesis state comes from the snapshot but
+    the CTC log-prob ring is append-only and keeps the current extension
+    (the reference never undoes extend_prob). Forward variables are lazily
+    re-extended over frames added after the snapshot."""
+    ctc = CTCScorerState(
+        logp=current.ctc.logp,
+        enc_len=current.ctc.enc_len,
+        r=snapshot.ctc.r,
+        s=snapshot.ctc.s,
+    )
+    ctc = ctc_refill_blank(ctc, snapshot.ctc.enc_len)
+    return snapshot._replace(ctc=ctc)
 
 
 def init_beam_arrays(cfg: ModelConfig, n_streams: int, beam: int) -> BeamArrays:
@@ -382,7 +398,7 @@ class BlockwiseSynchronousBeamSearch:
             if self.use_bbd and not block_is_final and bool(
                 flags.repetition[0]
             ):
-                st.arrays = prev_step_arrays
+                st.arrays = restore_hypotheses(prev_step_arrays, st.arrays)
                 st.output_index -= 1
                 break
 
@@ -396,7 +412,7 @@ class BlockwiseSynchronousBeamSearch:
 
         # Block-end rewind (reference :824-837).
         if st.process_idx > 1 and st.prev_arrays is not None:
-            st.arrays = st.prev_arrays
+            st.arrays = restore_hypotheses(st.prev_arrays, st.arrays)
             st.process_idx -= 1
             st.prev_arrays = None
 

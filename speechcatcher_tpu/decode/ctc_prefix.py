@@ -57,58 +57,81 @@ def init_ctc_state(
 @jax.jit
 def ctc_extend(
     state: CTCScorerState,
-    new_logp: jnp.ndarray,   # (S, Tnew, V) log-probs of NEW frames
-    active: jnp.ndarray,     # (S,) bool — streams that actually got frames
+    new_logp: jnp.ndarray,   # (S, Tnew, V) log-probs of NEW frames (padded)
+    n_new: jnp.ndarray,      # (S,) int32 or bool — valid new frames per stream
 ) -> CTCScorerState:
     """extend_prob + extend_state (reference :293-368).
 
-    Appends new frames to the log-prob ring and continues the cumulative-
-    blank recursion r_b[t] = r_b[t-1] + x_blank[t] into the new frames for
-    every hypothesis (r_n stays logzero there).
+    Appends up to Tnew new frames per stream (n_new may differ across
+    streams; bool input means all-or-none) to the log-prob ring and continues
+    the cumulative-blank recursion r_b[t] = r_b[t-1] + x_blank[t] into the
+    new frames for every hypothesis (r_n stays logzero there).
     """
     s_dim, t_cap, vocab = state.logp.shape
     t_new = new_logp.shape[1]
+    if n_new.dtype == jnp.bool_:
+        n_new = jnp.where(n_new, t_new, 0)
+    n_new = n_new.astype(jnp.int32)
 
     old_len = state.enc_len
     pos = old_len[:, None] + jnp.arange(t_new)[None, :]        # (S, Tnew)
     pos = jnp.clip(pos, 0, t_cap - 1)
     onehot = jax.nn.one_hot(pos, t_cap, dtype=state.logp.dtype)  # (S,Tnew,Tcap)
-    onehot = onehot * active[:, None, None]
+    onehot = onehot * (jnp.arange(t_new)[None, :] < n_new[:, None])[..., None]
     written = jnp.clip(onehot.sum(axis=1), 0.0, 1.0)             # (S, Tcap)
     logp = state.logp * (1.0 - written[:, :, None]) + jnp.einsum(
         "stv,stm->smv", new_logp, onehot
     )
 
-    new_len = jnp.where(active, old_len + t_new, old_len)
+    new_len = old_len + n_new
+    r = _fill_blank(logp, state.r, old_len, new_len)
+    return CTCScorerState(logp=logp, enc_len=new_len, r=r, s=state.s)
 
-    # Continue cumulative blank into [old_len, new_len).
+
+def _fill_blank(logp, r, from_len, to_len):
+    """Fill r rows [from_len, to_len) per stream with the cumulative-blank
+    continuation r_b[t] = r_b[t-1] + x_blank[t], r_n = logzero
+    (reference extend_state :350-368)."""
+    t_cap = logp.shape[1]
     xb = logp[:, :, 0]                                           # (S, Tcap)
     t_idx = jnp.arange(t_cap)[None, :]
-    in_new = (t_idx >= old_len[:, None]) & (t_idx < new_len[:, None])
-    cxb = jnp.cumsum(jnp.where(t_idx < new_len[:, None], xb, 0.0), axis=1)
-    # base: r_b at old_len-1 (0 cumulative when old_len == 0).
+    in_new = (t_idx >= from_len[:, None]) & (t_idx < to_len[:, None])
+    cxb = jnp.cumsum(jnp.where(t_idx < to_len[:, None], xb, 0.0), axis=1)
     base_cxb = jnp.where(
-        old_len > 0,
+        from_len > 0,
         jnp.take_along_axis(
-            cxb, jnp.maximum(old_len - 1, 0)[:, None], axis=1
+            cxb, jnp.maximum(from_len - 1, 0)[:, None], axis=1
         )[:, 0],
         0.0,
     )  # (S,)
     r_base = jnp.where(
-        old_len > 0,
+        (from_len > 0)[:, None],
         jnp.take_along_axis(
-            state.r[:, :, :, 1],
-            jnp.maximum(old_len - 1, 0)[:, None, None],
+            r[:, :, :, 1],
+            jnp.maximum(from_len - 1, 0)[:, None, None],
             axis=2,
         )[:, :, 0],
         0.0,
     )  # (S, B)
     new_rb = r_base[:, :, None] + (cxb[:, None, :] - base_cxb[:, None, None])
-    r1 = jnp.where(in_new[:, None, :], new_rb, state.r[:, :, :, 1])
-    r0 = jnp.where(in_new[:, None, :], LOGZERO, state.r[:, :, :, 0])
-    r = jnp.stack([r0, r1], axis=-1)
+    r1 = jnp.where(in_new[:, None, :], new_rb, r[:, :, :, 1])
+    r0 = jnp.where(in_new[:, None, :], LOGZERO, r[:, :, :, 0])
+    return jnp.stack([r0, r1], axis=-1)
 
-    return CTCScorerState(logp=logp, enc_len=new_len, r=r, s=state.s)
+
+@jax.jit
+def ctc_refill_blank(
+    state: CTCScorerState,
+    from_len: jnp.ndarray,  # (S,) frames covered by (restored) r
+) -> CTCScorerState:
+    """Re-extend restored forward variables up to the current enc_len.
+
+    Used after a rewind restores hypothesis states whose r predates the last
+    extend (the log-prob ring itself is append-only and never rewinds,
+    matching the reference where extend_prob is never undone)."""
+    r = _fill_blank(state.logp, state.r, from_len.astype(jnp.int32),
+                    state.enc_len)
+    return state._replace(r=r)
 
 
 def reset_ctc_streams(state: CTCScorerState, reset: jnp.ndarray) -> CTCScorerState:

@@ -157,9 +157,10 @@ def init_memory_cache(cfg: ModelConfig, n_streams: int) -> MemoryCache:
 def extend_memory_cache(
     params: Params,
     mem_cache: MemoryCache,
-    new_memory: jnp.ndarray,  # (S, Tnew, d) new encoder frames
+    new_memory: jnp.ndarray,  # (S, Tnew, d) new encoder frames (padded)
     enc_len: jnp.ndarray,     # (S,) frames already cached
     cfg: ModelConfig,
+    n_new: Optional[jnp.ndarray] = None,  # (S,) valid new frames (None=all)
 ) -> MemoryCache:
     """Project only the NEW encoder frames into the cross K/V ring."""
 
@@ -175,6 +176,10 @@ def extend_memory_cache(
     pos = enc_len[:, None] + jnp.arange(t_new)[None, :]  # (S, Tnew)
     pos = jnp.clip(pos, 0, tmax - 1)
     onehot = jax.nn.one_hot(pos, tmax, dtype=mem_cache.k.dtype)  # (S,Tnew,Tmax)
+    if n_new is not None:
+        onehot = onehot * (
+            jnp.arange(t_new)[None, :] < n_new[:, None]
+        )[..., None]
     written = jnp.clip(jnp.sum(onehot, axis=1), 0.0, 1.0)  # (S, Tmax)
     keep = (1.0 - written)[None, :, :, None]
     new_k = mem_cache.k * keep + jnp.einsum("lstd,stm->lsmd", ks, onehot)

@@ -167,14 +167,20 @@ def apply_layers_infer(
     past_ctx: jnp.ndarray,       # (B, L, d)
     has_past_ctx: jnp.ndarray,   # (B,) bool
     n_head: int,
+    last_block: Optional[jnp.ndarray] = None,  # (B,) idx of last VALID block
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Streaming layer stack with context propagation.
 
     Returns (ys_chunk (B, bn, bs+2, d), next_ctx (B, L, d)).
     Context semantics per reference contextual_block_encoder_layer.py:253-267.
+    `last_block` selects which block's last frame feeds the carried context
+    (default: the last one; the batched engine passes per-stream bn-1 when
+    trailing blocks are padding).
     """
     b, bn, w, d = xs_chunk.shape
     bmask = jnp.broadcast_to(mask[None, :, :], (b * bn, w, w))
+    if last_block is None:
+        last_block = jnp.full((b,), bn - 1, jnp.int32)
 
     def body(x, layer_in):
         p_layer, past_l = layer_in  # past_l: (B, d)
@@ -186,7 +192,9 @@ def apply_layers_infer(
         first_ctx = jnp.where(has_past_ctx[:, None], past_l, x[:, 0, -1, :])
         shifted = jnp.concatenate([first_ctx[:, None, :], x[:, :-1, -1, :]], axis=1)
         x = x.at[:, :, 0, :].set(shifted)
-        next_l = x[:, -1, -1, :]
+        next_l = jnp.take_along_axis(
+            x[:, :, -1, :], last_block[:, None, None].repeat(d, 2), axis=1
+        )[:, 0, :]
         return x, next_l
 
     # scan over layers: past_ctx axis 1 is the layer axis.

@@ -1,0 +1,884 @@
+"""Batched multi-stream streaming engine — S concurrent sessions, one chip.
+
+The reference serves one live stream per preloaded model replica (one per
+CPU core; speechcatcher_server.py:331-357). Here S streams share ONE weight
+copy and advance in lockstep ticks: every device kernel is batched over the
+stream axis with fixed capacity shapes and per-stream length/validity masks,
+so one jit-compiled program per tick serves all sessions.
+
+Architecture:
+- All length bookkeeping (buffer fills, block counts, beam step counters) is
+  host-side numpy — lengths are data-independent functions of per-stream
+  chunk counts, so nothing about control flow requires device readback
+  except the per-step EOS/BBD flags (one small transfer per beam step for
+  the WHOLE batch).
+- Device state is capacity-padded: waveform ring, pre/post-subsample feature
+  buffers, encoder-output ring, CTC log-prob ring + forward variables, beam
+  arrays, decoder KV caches.
+- Per-stream divergence (different ages, different beam progress) is handled
+  by masked lockstep: beam_step computes all streams, jnp.where selects
+  which advance; BBD rollback and block-end rewind restore per-stream
+  snapshots (free: immutable arrays).
+- Finals are rare (once per utterance), so a stream's final chunk is decoded
+  by extracting its slot into the parity-tested single-stream path
+  (decode/beam_search.py) and resetting the slot.
+
+Streaming (non-final) blocks are always full (block_size frames), which the
+tick kernels exploit; partial-block handling lives only in the final path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Dict, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from speechcatcher_tpu.config import ModelConfig
+from speechcatcher_tpu.decode.beam_search import (
+    BeamArrays,
+    BlockwiseSynchronousBeamSearch,
+    beam_step,
+    init_beam_arrays,
+)
+from speechcatcher_tpu.decode.ctc_prefix import (
+    CTCScorerState,
+    ctc_extend,
+    ctc_refill_blank,
+    init_ctc_state,
+)
+from speechcatcher_tpu.models.asr_model import ASRModel
+from speechcatcher_tpu.models.ctc import ctc_log_softmax
+from speechcatcher_tpu.models.decoder import (
+    DecoderCache,
+    MemoryCache,
+    extend_memory_cache,
+    init_memory_cache,
+)
+from speechcatcher_tpu.models.encoder import (
+    EncoderState,
+    apply_layers_infer,
+    block_attention_mask,
+    conv2d_subsample,
+    conv_output_feat_dim,
+)
+from speechcatcher_tpu.ops.layers import add_positional_encoding, layer_norm
+from speechcatcher_tpu.ops.frontend import frame_signal
+
+
+class EngineBuffers(NamedTuple):
+    """Device-resident per-stream buffers (fixed capacities)."""
+
+    wave: jnp.ndarray        # (S, WCAP) waveform carry
+    raw: jnp.ndarray         # (S, RCAP, n_mels) pre-subsample feature carry
+    post: jnp.ndarray        # (S, PCAP, d) post-subsample frame carry
+    prev_addin: jnp.ndarray  # (S, 1, d)
+    past_ctx: jnp.ndarray    # (S, L, d)
+    enc_out: jnp.ndarray     # (S, ECAP, d) emitted encoder frames
+
+
+def _roll_left(x: jnp.ndarray, shift: jnp.ndarray) -> jnp.ndarray:
+    """Per-stream left roll along axis 1. shift: (S,) int32."""
+    n = x.shape[1]
+    idx = (jnp.arange(n)[None, :] + shift[:, None]) % n
+    if x.ndim == 2:
+        return jnp.take_along_axis(x, idx, axis=1)
+    return jnp.take_along_axis(
+        x, idx[:, :, None].repeat(x.shape[2], 2), axis=1
+    )
+
+
+def _scatter_append(
+    buf: jnp.ndarray,      # (S, CAP, D)
+    new: jnp.ndarray,      # (S, N, D)
+    offset: jnp.ndarray,   # (S,)
+    n_valid: jnp.ndarray,  # (S,)
+) -> jnp.ndarray:
+    """Append new[:, :n_valid] at per-stream offsets (masked one-hot scatter)."""
+    cap = buf.shape[1]
+    n = new.shape[1]
+    pos = offset[:, None] + jnp.arange(n)[None, :]
+    pos = jnp.clip(pos, 0, cap - 1)
+    onehot = jax.nn.one_hot(pos, cap, dtype=buf.dtype)         # (S, N, CAP)
+    onehot = onehot * (jnp.arange(n)[None, :] < n_valid[:, None])[..., None]
+    written = jnp.clip(onehot.sum(axis=1), 0.0, 1.0)            # (S, CAP)
+    return buf * (1.0 - written[:, :, None]) + jnp.einsum(
+        "snd,snc->scd", new, onehot
+    )
+
+
+def _sel0(m: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """where over leading stream axis."""
+    return jnp.where(m.reshape((m.shape[0],) + (1,) * (x.ndim - 1)), x, y)
+
+
+def _select_buffers(mask: np.ndarray, a: EngineBuffers,
+                    b: EngineBuffers) -> EngineBuffers:
+    m = jnp.asarray(mask)
+    return jax.tree.map(lambda x, y: _sel0(m, x, y), a, b)
+
+
+def _select_mem(mask: np.ndarray, a: MemoryCache, b: MemoryCache) -> MemoryCache:
+    """MemoryCache leaves are (L, S, Tmax, d): select along axis 1."""
+    m = jnp.asarray(mask)[None, :, None, None]
+    return MemoryCache(
+        k=jnp.where(m, a.k, b.k), v=jnp.where(m, a.v, b.v)
+    )
+
+
+def _select_arrays(mask: np.ndarray, a: BeamArrays, b: BeamArrays) -> BeamArrays:
+    """Per-stream select over every BeamArrays field (explicit layouts:
+    DecoderCache is (L, S·B, Lmax, d), everything else leads with S)."""
+    m = jnp.asarray(mask)
+    s = int(m.shape[0])
+    beam = a.yseq.shape[1]
+    m_flat = jnp.repeat(m, beam)[None, :, None, None]   # (1, S*B, 1, 1)
+    return BeamArrays(
+        yseq=_sel0(m, a.yseq, b.yseq),
+        xpos=_sel0(m, a.xpos, b.xpos),
+        ylen=_sel0(m, a.ylen, b.ylen),
+        score=_sel0(m, a.score, b.score),
+        score_dec=_sel0(m, a.score_dec, b.score_dec),
+        score_ctc=_sel0(m, a.score_ctc, b.score_ctc),
+        dec_cache=DecoderCache(
+            k=jnp.where(m_flat, a.dec_cache.k, b.dec_cache.k),
+            v=jnp.where(m_flat, a.dec_cache.v, b.dec_cache.v),
+        ),
+        ctc=CTCScorerState(
+            logp=_sel0(m, a.ctc.logp, b.ctc.logp),
+            enc_len=_sel0(m, a.ctc.enc_len, b.ctc.enc_len),
+            r=_sel0(m, a.ctc.r, b.ctc.r),
+            s=_sel0(m, a.ctc.s, b.ctc.s),
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tick kernels
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("n_fft", "hop"))
+def _tick_frontend(
+    wave: jnp.ndarray,        # (S, WCAP)
+    audio: jnp.ndarray,       # (S, A)
+    wave_len: jnp.ndarray,    # (S,)
+    trim_start: jnp.ndarray,  # (S,) 0 (first chunk) or trim
+    keep_from: jnp.ndarray,   # (S,) combined index where the new buffer starts
+    keep_len: jnp.ndarray,    # (S,) carry length to store
+    window: jnp.ndarray,
+    mel_fb: jnp.ndarray,
+    mean: jnp.ndarray,
+    inv_std: jnp.ndarray,
+    n_fft: int,
+    hop: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Waveform-carry concat + log-mel + per-stream trim alignment.
+
+    Returns (feats (S, FCAP, n_mels) valid from index 0, new wave (S, WCAP)).
+    """
+    s, wcap = wave.shape
+    a = audio.shape[1]
+    combined = jnp.concatenate([wave, audio], axis=1)           # (S, WCAP+A)
+    combined = _roll_left(combined, wcap - wave_len)            # data at 0
+
+    frames = frame_signal(combined, n_fft, hop) * window[None, None, :]
+    spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
+    power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+    mel = jnp.einsum("stf,fm->stm", power, mel_fb,
+                     preferred_element_type=jnp.float32)
+    feats = (jnp.log(jnp.clip(mel, min=1e-10)) - mean) * inv_std
+
+    feats = _roll_left(feats, trim_start)                       # valid at 0
+    # Store the carry RIGHT-aligned so next tick's (wcap - wave_len) roll
+    # lands the data at position 0 of the combined window.
+    shift = keep_from + keep_len - wcap
+    new_wave = _roll_left(combined, shift)[:, :wcap]
+    return feats, new_wave
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _tick_subsample(
+    p_embed,
+    raw: jnp.ndarray,         # (S, RCAP, n_mels)
+    feats: jnp.ndarray,       # (S, FCAP, n_mels)
+    raw_len: jnp.ndarray,     # (S,)
+    n_feats: jnp.ndarray,     # (S,) valid new frames
+    consumed: jnp.ndarray,    # (S,) raw frames consumed by the conv
+    cfg: ModelConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Append feats to the raw carry, run conv subsampling over capacity.
+
+    Returns (sub (S, SUBCAP, d) valid per host-computed n_sub, new raw).
+    The conv is translation-invariant with VALID padding, so running it over
+    the padded capacity yields exactly the frames the reference gets from
+    slicing first (subsampling.py:71-106).
+    """
+    raw = _scatter_append(raw, feats, raw_len, n_feats)
+    sub = conv2d_subsample(p_embed, raw, cfg.input_layer)       # (S, RCAP', d)
+    new_raw = _roll_left(raw, consumed)
+    return sub, new_raw
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "maxb"))
+def _tick_blocks(
+    params,
+    pe: jnp.ndarray,
+    post: jnp.ndarray,        # (S, PCAP, d)
+    sub: jnp.ndarray,         # (S, SUBCAP, d) new subsampled frames
+    post_len: jnp.ndarray,    # (S,)
+    n_sub: jnp.ndarray,       # (S,)
+    bn: jnp.ndarray,          # (S,) blocks to process this tick
+    npb: jnp.ndarray,         # (S,)
+    has_prev: jnp.ndarray,    # (S,) bool
+    has_past: jnp.ndarray,    # (S,) bool
+    prev_addin: jnp.ndarray,  # (S, 1, d)
+    past_ctx: jnp.ndarray,    # (S, L, d)
+    enc_out: jnp.ndarray,     # (S, ECAP, d)
+    buf_len: jnp.ndarray,     # (S,)
+    cfg: ModelConfig,
+    maxb: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Assemble + run up to `maxb` FULL blocks per stream (streaming path).
+
+    Returns (new post, new prev_addin, new past_ctx, new enc_out). Length
+    bookkeeping (post_len/npb/buf_len updates) happens on the host.
+    """
+    s = post.shape[0]
+    d = cfg.encoder_dim
+    bs, hop, la = cfg.block_size, cfg.hop_size, cfg.look_ahead
+    offset = bs - la - hop
+
+    post = _scatter_append(post, sub, post_len, n_sub)
+
+    # Assemble blocks i = 0..maxb-1 from static offsets i*hop (full blocks).
+    chunks = []
+    addins = []
+    for i in range(maxb):
+        blk = jax.lax.dynamic_slice_in_dim(post, i * hop, bs, axis=1)
+        if cfg.init_average:
+            addin = jnp.mean(blk, axis=1, keepdims=True)
+        else:
+            addin = jnp.max(blk, axis=1, keepdims=True)
+        if cfg.ctx_pos_enc:
+            pe_a = pe[jnp.clip(npb + i, 0, pe.shape[0] - 1)]
+            addin = addin * math.sqrt(d) + pe_a[:, None, :]
+        addins.append(addin)
+        # Chunk positions: offset = i*hop + hop*npb per stream.
+        start = jnp.clip(i * hop + hop * npb, 0, pe.shape[0] - bs)
+        pe_c = pe[start[:, None] + jnp.arange(bs)[None, :]]     # (S, bs, d)
+        chunks.append(blk * math.sqrt(d) + pe_c)
+
+    first_prev = jnp.where(has_prev[:, None, None], prev_addin, addins[0])
+    prev_list = [first_prev] + addins[:-1]
+    xs_chunk = jnp.stack(
+        [
+            jnp.concatenate([prev_list[i], chunks[i], addins[i]], axis=1)
+            for i in range(maxb)
+        ],
+        axis=1,
+    )  # (S, maxb, bs+2, d)
+
+    any_blocks = bn > 0
+    last_idx = jnp.clip(bn - 1, 0, maxb - 1)
+    mask = jnp.asarray(block_attention_mask(bs))
+    ys_chunk, next_ctx_all = apply_layers_infer(
+        params["encoder"], xs_chunk, mask, past_ctx, has_past,
+        cfg.encoder_heads, last_block=last_idx.astype(jnp.int32),
+    )
+    ys_chunk = ys_chunk[:, :, 1 : bs + 1, :]                    # (S,maxb,bs,d)
+
+    # Per-stream context/addin updates use the LAST VALID block (bn-1);
+    # streams with bn == 0 keep their previous state.
+    new_prev_addin = jnp.where(
+        any_blocks[:, None, None],
+        jnp.take_along_axis(
+            jnp.concatenate([a[:, None] for a in addins], axis=1),
+            last_idx[:, None, None, None].repeat(d, 3),
+            axis=1,
+        )[:, 0],
+        prev_addin,
+    )
+    new_past_ctx = jnp.where(
+        any_blocks[:, None, None], next_ctx_all, past_ctx
+    )
+
+    # Emission staging: first-chunk layout keeps the leading `offset` frames
+    # of block 0 (reference encoder :507-513).
+    emitcap = offset + maxb * hop
+    lead = ys_chunk[:, 0, 0:offset, :]                          # (S,offset,d)
+    body = jnp.concatenate(
+        [ys_chunk[:, i, offset : offset + hop, :] for i in range(maxb)],
+        axis=1,
+    )                                                            # (S,maxb*hop,d)
+    first = npb == 0
+    stage_first = jnp.concatenate([lead, body], axis=1)
+    stage_later = jnp.concatenate(
+        [body, jnp.zeros((s, offset, d), post.dtype)], axis=1
+    )
+    staging = jnp.where(first[:, None, None], stage_first, stage_later)
+    if cfg.normalize_before:
+        staging = layer_norm(params["encoder"]["after_norm"], staging)
+
+    emitted = jnp.where(
+        any_blocks, bn * hop + jnp.where(first, offset, 0), 0
+    )
+    new_enc_out = _scatter_append(enc_out, staging, buf_len, emitted)
+
+    new_post = _roll_left(post, bn * hop)
+    return new_post, new_prev_addin, new_past_ctx, new_enc_out
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "extcap"))
+def _gather_new_frames(
+    enc_out: jnp.ndarray,   # (S, ECAP, d)
+    vis_len: jnp.ndarray,   # (S,)
+    cfg: ModelConfig,
+    extcap: int,
+) -> jnp.ndarray:
+    """enc_out[vis : vis+extcap] per stream (garbage past the valid range)."""
+    ecap = enc_out.shape[1]
+    idx = jnp.clip(vis_len[:, None] + jnp.arange(extcap)[None, :], 0, ecap - 1)
+    return jnp.take_along_axis(
+        enc_out, idx[:, :, None].repeat(enc_out.shape[2], 2), axis=1
+    )
+
+
+# ---------------------------------------------------------------------------
+# Engine
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class SlotCounters:
+    """Host-side per-slot bookkeeping (numpy, one entry per stream slot)."""
+
+    active: np.ndarray
+    first_wave: np.ndarray
+    wave_len: np.ndarray
+    raw_len: np.ndarray
+    post_len: np.ndarray
+    npb: np.ndarray
+    has_prev: np.ndarray
+    has_past: np.ndarray
+    buf_len: np.ndarray
+    vis_len: np.ndarray
+    processed_block: np.ndarray
+    process_idx: np.ndarray
+    output_index: np.ndarray
+    prev_valid: np.ndarray
+
+    @classmethod
+    def zeros(cls, s: int) -> "SlotCounters":
+        return cls(
+            active=np.zeros(s, bool),
+            first_wave=np.ones(s, bool),
+            wave_len=np.zeros(s, np.int64),
+            raw_len=np.zeros(s, np.int64),
+            post_len=np.zeros(s, np.int64),
+            npb=np.zeros(s, np.int64),
+            has_prev=np.zeros(s, bool),
+            has_past=np.zeros(s, bool),
+            buf_len=np.zeros(s, np.int64),
+            vis_len=np.zeros(s, np.int64),
+            processed_block=np.zeros(s, np.int64),
+            process_idx=np.zeros(s, np.int64),
+            output_index=np.zeros(s, np.int64),
+            prev_valid=np.zeros(s, bool),
+        )
+
+    def reset_slot(self, s: int):
+        self.active[s] = False
+        self.first_wave[s] = True
+        for a in (self.wave_len, self.raw_len, self.post_len, self.npb,
+                  self.buf_len, self.vis_len, self.processed_block,
+                  self.process_idx, self.output_index):
+            a[s] = 0
+        self.has_prev[s] = self.has_past[s] = self.prev_valid[s] = False
+
+
+class StreamingEngine:
+    """S-slot batched streaming decoder (one model copy, one chip)."""
+
+    def __init__(
+        self,
+        model: ASRModel,
+        n_slots: int = 8,
+        beam_size: int = 5,
+        ctc_weight: float = 0.3,
+        use_bbd: bool = True,
+        chunk_samples: int = 8192,
+        pre_beam_size: Optional[int] = None,
+    ):
+        self.model = model
+        cfg = model.cfg
+        self.cfg = cfg
+        self.S = n_slots
+        self.beam = beam_size
+        self.ctc_weight = ctc_weight
+        self.use_bbd = use_bbd
+        self.pre_beam = min(pre_beam_size or cfg.pre_beam_size, cfg.vocab_size)
+        self.A = chunk_samples
+        self.max_length = cfg.max_tokens - 1
+
+        # Capacities.
+        self.WCAP = cfg.win_length  # carry ≤ win_length always
+        ccap = self.WCAP + self.A
+        self.FCAP = 1 + ccap // cfg.hop_length
+        sub = cfg.subsample
+        from speechcatcher_tpu.models.encoder import subsampled_len
+
+        self.RCAP = self.FCAP + 3 * sub + 4
+        self.SUBCAP = subsampled_len(self.RCAP, cfg.input_layer)
+        self.PCAP = max(
+            2 * (cfg.block_size + cfg.hop_size),
+            cfg.block_size + self.SUBCAP + cfg.hop_size,
+        )
+        self.MAXB = max(
+            1, (self.PCAP - (cfg.block_size - cfg.hop_size)) // cfg.hop_size
+        )
+        self.ECAP = cfg.max_enc_frames
+        self.EXTCAP = cfg.block_size  # max frames made visible per round
+
+        d = cfg.encoder_dim
+        self.buffers = EngineBuffers(
+            wave=jnp.zeros((self.S, self.WCAP)),
+            raw=jnp.zeros((self.S, self.RCAP, cfg.n_mels)),
+            post=jnp.zeros((self.S, self.PCAP, d)),
+            prev_addin=jnp.zeros((self.S, 1, d)),
+            past_ctx=jnp.zeros((self.S, cfg.encoder_layers, d)),
+            enc_out=jnp.zeros((self.S, self.ECAP, d)),
+        )
+        self.arrays = init_beam_arrays(cfg, self.S, beam_size)
+        self.prev_arrays = self.arrays
+        self.mem_cache = init_memory_cache(cfg, self.S)
+        self.c = SlotCounters.zeros(self.S)
+
+        self.trim = math.ceil(math.ceil(cfg.win_length / cfg.hop_length) / 2)
+
+        # Single-stream finalizer (shares weights; used per final chunk).
+        self._finalizer = BlockwiseSynchronousBeamSearch(
+            model, beam_size=beam_size, ctc_weight=ctc_weight, use_bbd=use_bbd
+        )
+
+    # ------------------------------------------------------------------
+    # Slot management
+    # ------------------------------------------------------------------
+    def acquire_slot(self) -> Optional[int]:
+        free = np.flatnonzero(~self.c.active)
+        if len(free) == 0:
+            return None
+        s = int(free[0])
+        self._reset_slot(s)
+        self.c.active[s] = True
+        return s
+
+    def release_slot(self, s: int):
+        self._reset_slot(s)
+
+    def _reset_slot(self, s: int):
+        self.c.reset_slot(s)
+        mask = np.zeros(self.S, bool)
+        mask[s] = True
+        fresh_arrays = init_beam_arrays(self.cfg, self.S, self.beam)
+        self.arrays = _select_arrays(mask, fresh_arrays, self.arrays)
+        self.prev_arrays = _select_arrays(mask, fresh_arrays, self.prev_arrays)
+        fresh_mem = init_memory_cache(self.cfg, self.S)
+        self.mem_cache = _select_mem(mask, fresh_mem, self.mem_cache)
+        zero_buf = jax.tree.map(jnp.zeros_like, self.buffers)
+        self.buffers = _select_buffers(mask, zero_buf, self.buffers)
+
+    # ------------------------------------------------------------------
+    # Tick
+    # ------------------------------------------------------------------
+    def tick(self, audio: Dict[int, np.ndarray]) -> Dict[int, List[int]]:
+        """Advance all streams by one chunk.
+
+        audio: slot → exactly `chunk_samples` float32 samples (host staging
+        pads/queues). Returns slot → committed token ids of the best
+        hypothesis (partial output).
+        """
+        c = self.c
+        cfg = self.cfg
+        slots = sorted(k for k in audio if c.active[k])
+        if not slots:
+            return {}
+        do = np.zeros(self.S, bool)
+        audio_batch = np.zeros((self.S, self.A), np.float32)
+        for s in slots:
+            chunk = audio[s]
+            assert len(chunk) == self.A, "tick requires fixed-size chunks"
+            audio_batch[s] = chunk
+            do[s] = True
+
+        self._tick_encode(audio_batch, do)
+        self._run_rounds(do)
+        return {s: self.partial_tokens(s) for s in slots}
+
+    # -- frontend + encoder -------------------------------------------------
+    def _tick_encode(self, audio_batch: np.ndarray, do: np.ndarray):
+        c = self.c
+        cfg = self.cfg
+        win, hop = cfg.win_length, cfg.hop_length
+        sub = cfg.subsample
+
+        total = np.where(do, c.wave_len + self.A, c.wave_len)
+        can = do & (total > win)
+        n_frames = np.where(can, (total - (win - hop)) // hop, 0)
+        n_res = np.where(can, (total - (win - hop)) % hop, 0)
+        keep_len = np.where(can, (win - hop) + n_res, total)
+        stft_frames = n_frames + 2  # 1 + proc_len//hop with proc=240+n*hop
+        trim_start = np.where(c.first_wave, 0, self.trim)
+        valid_feats = np.where(
+            can,
+            np.maximum(
+                stft_frames - trim_start - self.trim, 0
+            ),
+            0,
+        )
+        keep_from = np.where(can, total - keep_len, 0)
+
+        feats, new_wave = _tick_frontend(
+            self.buffers.wave,
+            jnp.asarray(audio_batch),
+            jnp.asarray(c.wave_len.astype(np.int32)),
+            jnp.asarray(trim_start.astype(np.int32)),
+            jnp.asarray(keep_from.astype(np.int32)),
+            jnp.asarray(keep_len.astype(np.int32)),
+            self.model.frontend.window,
+            self.model.frontend.mel_fb,
+            self.model.frontend.mean,
+            self.model.frontend.inv_std,
+            cfg.n_fft,
+            hop,
+        )
+        self.buffers = self.buffers._replace(wave=new_wave)
+        c.wave_len = keep_len
+        c.first_wave = np.where(can, False, c.first_wave)
+
+        # Subsampling.
+        raw_total = c.raw_len + valid_feats
+        n_samples = raw_total // sub - 1
+        can_sub = can & (n_samples >= 2)
+        n_sub_in = np.where(can_sub, n_samples * sub, 0)  # frames consumed
+        n_sub_out = np.zeros(self.S, np.int64)
+        kernels_out = 0
+        # conv output count for n_samples*sub input frames:
+        # conv2d: n_samples - 1 (two k=3,s=2 convs).
+        from speechcatcher_tpu.models.encoder import subsampled_len
+
+        for i in range(self.S):
+            if can_sub[i]:
+                n_sub_out[i] = subsampled_len(int(n_sub_in[i]), cfg.input_layer)
+        n_res_raw = np.where(can_sub, raw_total % sub + sub * 2, raw_total)
+        consumed = np.where(can_sub, raw_total - n_res_raw, 0)
+
+        sub_frames, new_raw = _tick_subsample(
+            self.model.params["encoder"]["embed"],
+            self.buffers.raw,
+            feats,
+            jnp.asarray(c.raw_len.astype(np.int32)),
+            jnp.asarray(valid_feats.astype(np.int32)),
+            jnp.asarray(consumed.astype(np.int32)),
+            cfg,
+        )
+        self.buffers = self.buffers._replace(raw=new_raw)
+        c.raw_len = n_res_raw
+
+        # Blocks.
+        post_total = c.post_len + n_sub_out
+        overlap = cfg.block_size - cfg.hop_size
+        bn = np.where(
+            post_total > cfg.block_size,
+            np.maximum(0, post_total - overlap) // cfg.hop_size,
+            0,
+        )
+        bn = np.minimum(bn, self.MAXB)
+
+        new_post, new_prev, new_past, new_enc = _tick_blocks(
+            self.model.params,
+            self.model.enc_pe,
+            self.buffers.post,
+            sub_frames[:, : self.SUBCAP, :],
+            jnp.asarray(c.post_len.astype(np.int32)),
+            jnp.asarray(n_sub_out.astype(np.int32)),
+            jnp.asarray(bn.astype(np.int32)),
+            jnp.asarray(c.npb.astype(np.int32)),
+            jnp.asarray(c.has_prev),
+            jnp.asarray(c.has_past),
+            self.buffers.prev_addin,
+            self.buffers.past_ctx,
+            self.buffers.enc_out,
+            jnp.asarray(c.buf_len.astype(np.int32)),
+            cfg,
+            self.MAXB,
+        )
+        self.buffers = self.buffers._replace(
+            post=new_post, prev_addin=new_prev, past_ctx=new_past,
+            enc_out=new_enc,
+        )
+        offset = cfg.block_size - cfg.look_ahead - cfg.hop_size
+        emitted = np.where(
+            bn > 0, bn * cfg.hop_size + np.where(c.npb == 0, offset, 0), 0
+        )
+        c.buf_len = c.buf_len + emitted
+        c.post_len = post_total - bn * cfg.hop_size
+        c.has_prev = c.has_prev | (bn > 0)
+        c.has_past = c.has_past | (bn > 0)
+        c.npb = c.npb + bn
+
+    # -- beam rounds ---------------------------------------------------------
+    def _run_rounds(self, do: np.ndarray):
+        c = self.c
+        cfg = self.cfg
+        while True:
+            cur_end = (
+                cfg.block_size - cfg.look_ahead
+                + cfg.hop_size * c.processed_block
+            )
+            ready = do & c.active & (cur_end < c.buf_len)
+            if not ready.any():
+                break
+            self._extend_visible(ready, np.where(ready, cur_end, c.vis_len))
+            c.processed_block = np.where(
+                ready, c.processed_block + 1, c.processed_block
+            )
+            self._beam_loop(ready, block_final=np.zeros(self.S, bool))
+
+    def _extend_visible(self, mask: np.ndarray, new_vis: np.ndarray):
+        c = self.c
+        n_ext = np.where(mask, new_vis - c.vis_len, 0)
+        assert (n_ext <= self.EXTCAP).all(), (n_ext, self.EXTCAP)
+        if not (n_ext > 0).any():
+            return
+        new_frames = _gather_new_frames(
+            self.buffers.enc_out,
+            jnp.asarray(c.vis_len.astype(np.int32)),
+            self.cfg,
+            self.EXTCAP,
+        )
+        new_logp = ctc_log_softmax(self.model.params["ctc"], new_frames)
+        self.arrays = self.arrays._replace(
+            ctc=ctc_extend(
+                self.arrays.ctc, new_logp, jnp.asarray(n_ext.astype(np.int32))
+            )
+        )
+        self.mem_cache = extend_memory_cache(
+            self.model.params["decoder"],
+            self.mem_cache,
+            new_frames,
+            jnp.asarray(c.vis_len.astype(np.int32)),
+            self.cfg,
+            n_new=jnp.asarray(n_ext.astype(np.int32)),
+        )
+        c.vis_len = np.where(mask, new_vis, c.vis_len)
+
+    def _beam_loop(self, ready: np.ndarray, block_final: np.ndarray):
+        """Masked lockstep beam stepping (reference inner loop :701-821)."""
+        c = self.c
+        stepping = ready.copy()
+        while stepping.any():
+            stepping &= c.process_idx < self.max_length
+            if not stepping.any():
+                break
+            c.output_index = np.where(
+                stepping, c.output_index + 1, c.output_index
+            )
+            old_arrays = self.arrays
+            new_arrays, flags = beam_step(
+                self.model.params,
+                self.model.dec_pe,
+                self.mem_cache,
+                old_arrays,
+                jnp.asarray(c.vis_len.astype(np.int32)),
+                self.cfg,
+                self.beam,
+                self.pre_beam,
+                self.ctc_weight,
+                self.use_bbd,
+            )
+            eos = np.asarray(flags.eos_in_beam)
+            best_eos = np.asarray(flags.best_is_eos)
+            rep = np.asarray(flags.repetition)
+
+            # BBD rollback: keep old arrays for those streams.
+            bbd = stepping & self.use_bbd & ~block_final & rep & ~eos
+            advanced = stepping & ~bbd
+            self.arrays = _select_arrays(advanced, new_arrays, old_arrays)
+            c.output_index = np.where(
+                bbd, c.output_index - 1, c.output_index
+            )
+
+            # Stop conditions.
+            stop_eos = stepping & eos & ~block_final
+            stop_eos_final = stepping & block_final & best_eos
+            cont = advanced & ~stop_eos & ~stop_eos_final
+
+            # Save rewind snapshot for continuing streams.
+            self.prev_arrays = _select_arrays(
+                cont, self.arrays, self.prev_arrays
+            )
+            c.prev_valid = c.prev_valid | cont
+            c.process_idx = np.where(cont, c.process_idx + 1, c.process_idx)
+            stepping = cont
+
+        # Block-end rewind (reference :824-837). Hypothesis state restores
+        # from the snapshot; the CTC log-prob ring is append-only (kept from
+        # current) and forward variables are lazily re-extended over frames
+        # added after the snapshot.
+        rewind = ready & (c.process_idx > 1) & c.prev_valid
+        if rewind.any():
+            cur = self.arrays
+            restored = _select_arrays(rewind, self.prev_arrays, cur)
+            ctc = CTCScorerState(
+                logp=cur.ctc.logp,
+                enc_len=cur.ctc.enc_len,
+                r=restored.ctc.r,
+                s=restored.ctc.s,
+            )
+            from_len = jnp.where(
+                jnp.asarray(rewind), self.prev_arrays.ctc.enc_len,
+                cur.ctc.enc_len,
+            )
+            ctc = ctc_refill_blank(ctc, from_len)
+            self.arrays = restored._replace(ctc=ctc)
+            c.process_idx = np.where(rewind, c.process_idx - 1, c.process_idx)
+            c.prev_valid = np.where(rewind, False, c.prev_valid)
+
+    # ------------------------------------------------------------------
+    # Output + finalize
+    # ------------------------------------------------------------------
+    def partial_tokens(self, s: int) -> List[int]:
+        """Committed tokens of the best hypothesis (yseq[1:-1], non-blank)."""
+        ylen = int(self.arrays.ylen[s])
+        if ylen <= 2:
+            return []
+        yseq = np.asarray(self.arrays.yseq[s, 0, :ylen])
+        drop = {self.cfg.blank_id, self.cfg.eos_id}
+        return [int(t) for t in yseq[1:-1] if int(t) not in drop]
+
+    def partial_result(self, s: int):
+        ylen = int(self.arrays.ylen[s])
+        yseq = np.asarray(self.arrays.yseq[s, 0, :ylen])
+        xpos = np.asarray(self.arrays.xpos[s, 0, :ylen])
+        return yseq, xpos
+
+    def finalize(self, s: int, last_audio: Optional[np.ndarray] = None):
+        """Final chunk for slot s: extract the slot into the single-stream
+        path, decode to completion, reset the slot, return results.
+
+        Returns (yseq, xpos, score) of the best final hypothesis.
+        """
+        c = self.c
+        cfg = self.cfg
+        fin = self._finalizer
+        fin.reset()
+        st = fin.state
+
+        # Encoder state extraction (capacity buffers → exact-length views).
+        raw = (
+            self.buffers.raw[s : s + 1, : int(c.raw_len[s]), :]
+            if c.raw_len[s] > 0
+            else None
+        )
+        post = (
+            self.buffers.post[s : s + 1, : int(c.post_len[s]), :]
+            if c.post_len[s] > 0
+            else None
+        )
+        if c.npb[s] > 0 or c.has_prev[s] or raw is not None or post is not None:
+            st.enc_state = EncoderState(
+                prev_addin=(
+                    self.buffers.prev_addin[s : s + 1]
+                    if c.has_prev[s]
+                    else None
+                ),
+                buf_before=raw,
+                buf_after=post,
+                n_processed_blocks=int(c.npb[s]),
+                past_ctx=(
+                    self.buffers.past_ctx[s : s + 1] if c.has_past[s] else None
+                ),
+            )
+        if c.buf_len[s] > 0:
+            st.enc_buf = self.buffers.enc_out[s : s + 1, : int(c.buf_len[s]), :]
+        st.vis_len = int(c.vis_len[s])
+        st.processed_block = int(c.processed_block[s])
+        st.process_idx = int(c.process_idx[s])
+        st.output_index = int(c.output_index[s])
+
+        # Beam arrays slice (S=1).
+        b = self.beam
+        a = self.arrays
+        st.arrays = BeamArrays(
+            yseq=a.yseq[s : s + 1],
+            xpos=a.xpos[s : s + 1],
+            ylen=a.ylen[s : s + 1],
+            score=a.score[s : s + 1],
+            score_dec=a.score_dec[s : s + 1],
+            score_ctc=a.score_ctc[s : s + 1],
+            dec_cache=DecoderCache(
+                k=a.dec_cache.k[:, s * b : (s + 1) * b],
+                v=a.dec_cache.v[:, s * b : (s + 1) * b],
+            ),
+            ctc=CTCScorerState(
+                logp=a.ctc.logp[s : s + 1],
+                enc_len=a.ctc.enc_len[s : s + 1],
+                r=a.ctc.r[s : s + 1],
+                s=a.ctc.s[s : s + 1],
+            ),
+        )
+        if c.prev_valid[s]:
+            p = self.prev_arrays
+            st.prev_arrays = BeamArrays(
+                yseq=p.yseq[s : s + 1],
+                xpos=p.xpos[s : s + 1],
+                ylen=p.ylen[s : s + 1],
+                score=p.score[s : s + 1],
+                score_dec=p.score_dec[s : s + 1],
+                score_ctc=p.score_ctc[s : s + 1],
+                dec_cache=DecoderCache(
+                    k=p.dec_cache.k[:, s * b : (s + 1) * b],
+                    v=p.dec_cache.v[:, s * b : (s + 1) * b],
+                ),
+                ctc=CTCScorerState(
+                    logp=p.ctc.logp[s : s + 1],
+                    enc_len=p.ctc.enc_len[s : s + 1],
+                    r=p.ctc.r[s : s + 1],
+                    s=p.ctc.s[s : s + 1],
+                ),
+            )
+        st.mem_cache = MemoryCache(
+            k=self.mem_cache.k[:, s : s + 1],
+            v=self.mem_cache.v[:, s : s + 1],
+        )
+        fin.state = st
+
+        # Frontend final: wave buffer (stored right-aligned) + last audio
+        # through the exact-length path (reference apply_frontend final).
+        wl = int(c.wave_len[s])
+        wave = np.asarray(
+            self.buffers.wave[s, self.WCAP - wl :] if wl else
+            np.zeros(0, np.float32)
+        )
+        audio = (
+            np.concatenate([wave, np.asarray(last_audio, np.float32)])
+            if last_audio is not None and len(last_audio)
+            else wave
+        )
+        if len(audio) <= cfg.win_length:
+            # Pad to exactly win_length (reference apply_frontend :308-315).
+            audio = np.concatenate(
+                [audio, np.zeros(cfg.win_length - len(audio), np.float32)]
+            )
+        feats = self.model.frontend(jnp.asarray(audio))
+        if not c.first_wave[s] and feats.shape[1] > self.trim:
+            feats = feats[:, self.trim :, :]
+
+        fin.process_block(feats, is_final=True)
+        yseq, xpos, score = fin.best_hypothesis()
+        self._reset_slot(s)
+        self.c.active[s] = False
+        return yseq, xpos, score

@@ -1,0 +1,129 @@
+"""Batched multi-stream engine parity: S slots with different audio must
+reproduce S independent single-stream sessions token-for-token."""
+
+import numpy as np
+import pytest
+
+from speechcatcher_tpu.config import tiny_config
+from speechcatcher_tpu.models.asr_model import ASRModel
+from speechcatcher_tpu.serve.engine import StreamingEngine
+from speechcatcher_tpu.streaming import Speech2TextStreaming
+
+CFG = tiny_config()  # full 80-mel frontend, tiny encoder/decoder
+CHUNK = 8192
+
+
+@pytest.fixture(scope="module")
+def model():
+    return ASRModel.random_init(CFG, seed=1)
+
+
+def synth_audio(seconds, seed, rate=16000):
+    rng = np.random.RandomState(seed)
+    t = np.arange(int(seconds * rate)) / rate
+    f = 200 + 100 * (seed % 5)
+    tone = 0.3 * np.sin(2 * np.pi * f * t) * (1 + 0.5 * np.sin(2 * np.pi * 2 * t))
+    return (tone + 0.05 * rng.randn(len(t))).astype(np.float32)
+
+
+def single_stream_tokens(model, audio, n_chunks):
+    """Final (token_ids, token_pos) via the single-stream session."""
+    s2t = Speech2TextStreaming(model=model, beam_size=3)
+    results = []
+    for i in range(n_chunks):
+        chunk = audio[i * CHUNK : (i + 1) * CHUNK]
+        results = s2t(chunk, is_final=(i == n_chunks - 1))
+    assert results, "no final result"
+    _text, _tokens, ids, pos = results[0]
+    return ids, pos
+
+
+def final_to_ids(model, yseq, xpos):
+    """Engine finalize output → same filtered (ids, pos) convention."""
+    cfg = model.cfg
+    ids = list(map(int, yseq[1:]))
+    pos = list(map(int, xpos[1:]))
+    if ids and ids[-1] == cfg.eos_id:
+        ids, pos = ids[:-1], pos[:-1]
+    drop = {cfg.blank_id, model.tokenizer.unk_id, cfg.eos_id}
+    keep = [i for i, t in enumerate(ids) if t not in drop]
+    return [ids[i] for i in keep], [pos[i] for i in keep]
+
+
+def test_engine_matches_single_stream(model):
+    n_streams = 3
+    n_chunks = 4
+    audios = [synth_audio(n_chunks * CHUNK / 16000 + 0.01, seed=s)
+              for s in range(n_streams)]
+
+    # Golden: independent single-stream sessions.
+    golden = []
+    for a in audios:
+        # Recreate session per stream to reset all state.
+        golden.append(single_stream_tokens(model, a, n_chunks))
+
+    # Engine: all streams in one batch, finalized on the last tick.
+    engine = StreamingEngine(model, n_slots=n_streams + 1, beam_size=3,
+                             chunk_samples=CHUNK)
+    slots = [engine.acquire_slot() for _ in range(n_streams)]
+    for i in range(n_chunks - 1):
+        engine.tick({
+            s: audios[k][i * CHUNK : (i + 1) * CHUNK]
+            for k, s in enumerate(slots)
+        })
+    finals = {}
+    for k, s in enumerate(slots):
+        yseq, xpos, _ = engine.finalize(
+            s, audios[k][(n_chunks - 1) * CHUNK : n_chunks * CHUNK]
+        )
+        finals[k] = final_to_ids(model, yseq, xpos)
+
+    for k in range(n_streams):
+        g_ids, g_pos = golden[k]
+        e_ids, e_pos = finals[k]
+        assert e_ids == g_ids, (
+            f"stream {k}: engine {e_ids} != single {g_ids}"
+        )
+        assert e_pos == g_pos, f"stream {k} xpos"
+
+
+def test_engine_staggered_starts(model):
+    """Streams joining at different ticks must not perturb each other."""
+    n_chunks = 3
+    a0 = synth_audio(n_chunks * CHUNK / 16000 + 0.01, seed=10)
+    a1 = synth_audio(n_chunks * CHUNK / 16000 + 0.01, seed=11)
+
+    golden0 = single_stream_tokens(model, a0, n_chunks)
+    golden1 = single_stream_tokens(model, a1, n_chunks)
+
+    engine = StreamingEngine(model, n_slots=4, beam_size=3,
+                             chunk_samples=CHUNK)
+    s0 = engine.acquire_slot()
+    engine.tick({s0: a0[:CHUNK]})
+    s1 = engine.acquire_slot()  # joins one tick later
+    engine.tick({s0: a0[CHUNK : 2 * CHUNK], s1: a1[:CHUNK]})
+    f0 = engine.finalize(s0, a0[2 * CHUNK : 3 * CHUNK])
+    engine.tick({s1: a1[CHUNK : 2 * CHUNK]})
+    f1 = engine.finalize(s1, a1[2 * CHUNK : 3 * CHUNK])
+
+    assert final_to_ids(model, f0[0], f0[1]) == golden0
+    assert final_to_ids(model, f1[0], f1[1]) == golden1
+
+
+def test_engine_slot_reuse(model):
+    """A released+reacquired slot must behave like a fresh session."""
+    n_chunks = 2
+    a = synth_audio(n_chunks * CHUNK / 16000 + 0.01, seed=20)
+    golden = single_stream_tokens(model, a, n_chunks)
+
+    engine = StreamingEngine(model, n_slots=2, beam_size=3,
+                             chunk_samples=CHUNK)
+    s = engine.acquire_slot()
+    engine.tick({s: a[:CHUNK]})
+    engine.finalize(s, a[CHUNK:])  # completes + resets slot
+
+    s2 = engine.acquire_slot()
+    assert s2 == s  # reused
+    engine.tick({s2: a[:CHUNK]})
+    f = engine.finalize(s2, a[CHUNK : 2 * CHUNK])
+    assert final_to_ids(model, f[0], f[1]) == golden
