@@ -1,0 +1,129 @@
+"""Benchmark: concurrent real-time streams per chip (the BASELINE north-star).
+
+Runs the batched StreamingEngine with a flagship-class model (xl: d=512,
+18 encoder layers — random weights; kernels don't care) and finds the
+largest stream count S whose p50 tick latency stays under the tick's audio
+duration (8192 samples = 512 ms): every stream then keeps up with real time.
+
+Reference comparison: the reference serves roughly one real-time stream per
+CPU core via a pool of model replicas (pool default 8,
+/root/reference/speechcatcher_server.py:331-357,419) — vs_baseline is
+streams/8.
+
+Prints ONE JSON line:
+  {"metric": "concurrent_rt_streams_per_chip", "value": N,
+   "unit": "streams", "vs_baseline": N/8, ...detail}
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+CHUNK = 8192
+RATE = 16000
+CHUNK_SEC = CHUNK / RATE
+WARMUP_TICKS = 3
+TIMED_TICKS = 8
+TIME_BUDGET_S = 480.0
+
+
+def synth_audio(n_ticks: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    n = n_ticks * CHUNK
+    t = np.arange(n) / RATE
+    f = 160 + 40 * (seed % 8)
+    x = 0.3 * np.sin(2 * np.pi * f * t) * (1 + 0.4 * np.sin(2 * np.pi * 2.5 * t))
+    return (x + 0.05 * rng.randn(n)).astype(np.float32)
+
+
+def measure(model, n_streams: int, beam: int) -> float:
+    """p50 tick latency (seconds) with n_streams active streams."""
+    from speechcatcher_tpu.serve.engine import StreamingEngine
+
+    engine = StreamingEngine(
+        model, n_slots=n_streams, beam_size=beam, chunk_samples=CHUNK
+    )
+    slots = [engine.acquire_slot() for _ in range(n_streams)]
+    audio = {
+        s: synth_audio(WARMUP_TICKS + TIMED_TICKS, seed=k)
+        for k, s in enumerate(slots)
+    }
+
+    lat = []
+    for i in range(WARMUP_TICKS + TIMED_TICKS):
+        batch = {
+            s: audio[s][i * CHUNK : (i + 1) * CHUNK] for s in slots
+        }
+        t0 = time.perf_counter()
+        engine.tick(batch)
+        dt = time.perf_counter() - t0
+        if i >= WARMUP_TICKS:
+            lat.append(dt)
+    return float(np.percentile(lat, 50))
+
+
+def main():
+    import jax
+
+    from speechcatcher_tpu.models.asr_model import ASRModel
+    from __graft_entry__ import _flagship_config
+
+    platform = jax.devices()[0].platform
+    on_accelerator = platform not in ("cpu",)
+
+    cfg = _flagship_config()
+    if not on_accelerator:
+        # Local smoke mode: tiny model + tiny ladder so CI stays fast.
+        from speechcatcher_tpu.config import tiny_config
+
+        cfg = tiny_config()
+        ladder = [2]
+    else:
+        ladder = [16, 32, 64, 96, 128, 160]
+
+    model = ASRModel.random_init(cfg, seed=0)
+    beam = 5 if on_accelerator else 2
+
+    start = time.time()
+    best_s = 0
+    best_p50 = None
+    results = []
+    for s in ladder:
+        if time.time() - start > TIME_BUDGET_S and best_s > 0:
+            break
+        try:
+            p50 = measure(model, s, beam)
+        except Exception as e:  # OOM or compile failure at this scale
+            print(f"# S={s} failed: {type(e).__name__}: {e}", file=sys.stderr)
+            break
+        rtf = p50 / CHUNK_SEC
+        results.append((s, p50, rtf))
+        print(f"# S={s}: p50 tick {p50*1000:.1f} ms (RTF {rtf:.3f})",
+              file=sys.stderr)
+        if p50 < CHUNK_SEC:
+            best_s, best_p50 = s, p50
+        else:
+            break
+
+    out = {
+        "metric": "concurrent_rt_streams_per_chip",
+        "value": best_s,
+        "unit": "streams",
+        "vs_baseline": round(best_s / 8.0, 2),
+        "p50_tick_ms": round((best_p50 or 0.0) * 1e3, 1),
+        "chunk_ms": CHUNK_SEC * 1e3,
+        "platform": platform,
+        "ladder": [
+            {"streams": s, "p50_ms": round(p * 1e3, 1), "rtf": round(r, 3)}
+            for s, p, r in results
+        ],
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

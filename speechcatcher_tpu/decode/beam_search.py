@@ -106,11 +106,7 @@ def init_beam_arrays(cfg: ModelConfig, n_streams: int, beam: int) -> BeamArrays:
     )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "beam", "pre_beam", "ctc_weight", "use_bbd"),
-)
-def beam_step(
+def _beam_step_core(
     params,
     dec_pe: jnp.ndarray,
     mem_cache: MemoryCache,
@@ -133,15 +129,14 @@ def beam_step(
     )[:, :, 0]                                                   # (S, B)
 
     # --- Pass 1: decoder scores full vocab (reference :121-146).
-    dec_logp, new_cache = decoder_step(
+    dec_logp, new_cache = decoder_step.__wrapped__(
         params["decoder"],
         dec_pe,
         arrays.dec_cache,
         mem_cache,
         last_tok.reshape(n),
         jnp.repeat(arrays.ylen - 1, beam),
-        jnp.repeat(vis_len, beam),
-        jnp.repeat(jnp.arange(s_dim, dtype=jnp.int32), beam),
+        vis_len,
         cfg,
     )
     dec_logp = dec_logp.reshape(s_dim, beam, vocab)
@@ -246,6 +241,156 @@ def beam_step(
         best_is_eos=best_is_eos,
         all_eos=all_eos,
         repetition=repetition,
+    )
+
+
+beam_step = functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "beam", "pre_beam", "ctc_weight", "use_bbd"),
+)(_beam_step_core)
+
+
+# ---------------------------------------------------------------------------
+# Per-stream state selection helpers (used on host and inside device loops)
+# ---------------------------------------------------------------------------
+
+def _sel0(m: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    return jnp.where(m.reshape((m.shape[0],) + (1,) * (x.ndim - 1)), x, y)
+
+
+def select_arrays(mask: jnp.ndarray, a: BeamArrays, b: BeamArrays) -> BeamArrays:
+    """Per-stream select over every BeamArrays field (DecoderCache is
+    (L, S·B, Lmax, d); everything else leads with S)."""
+    m = jnp.asarray(mask)
+    beam = a.yseq.shape[1]
+    m_flat = jnp.repeat(m, beam)[None, :, None, None]   # (1, S*B, 1, 1)
+    return BeamArrays(
+        yseq=_sel0(m, a.yseq, b.yseq),
+        xpos=_sel0(m, a.xpos, b.xpos),
+        ylen=_sel0(m, a.ylen, b.ylen),
+        score=_sel0(m, a.score, b.score),
+        score_dec=_sel0(m, a.score_dec, b.score_dec),
+        score_ctc=_sel0(m, a.score_ctc, b.score_ctc),
+        dec_cache=DecoderCache(
+            k=jnp.where(m_flat, a.dec_cache.k, b.dec_cache.k),
+            v=jnp.where(m_flat, a.dec_cache.v, b.dec_cache.v),
+        ),
+        ctc=CTCScorerState(
+            logp=_sel0(m, a.ctc.logp, b.ctc.logp),
+            enc_len=_sel0(m, a.ctc.enc_len, b.ctc.enc_len),
+            r=_sel0(m, a.ctc.r, b.ctc.r),
+            s=_sel0(m, a.ctc.s, b.ctc.s),
+        ),
+    )
+
+
+class BlockDecodeState(NamedTuple):
+    """Carry of the on-device block-decode loop."""
+
+    arrays: BeamArrays
+    prev_arrays: BeamArrays
+    prev_valid: jnp.ndarray   # (S,) bool — rewind snapshot exists
+    process_idx: jnp.ndarray  # (S,) int32
+    output_index: jnp.ndarray  # (S,) int32
+    stepping: jnp.ndarray     # (S,) bool
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "beam", "pre_beam", "ctc_weight", "use_bbd",
+                     "max_length"),
+)
+def decode_block_device(
+    params,
+    dec_pe: jnp.ndarray,
+    mem_cache: MemoryCache,
+    state: BlockDecodeState,
+    vis_len: jnp.ndarray,      # (S,)
+    block_final: jnp.ndarray,  # (S,) bool
+    cfg: ModelConfig,
+    beam: int,
+    pre_beam: int,
+    ctc_weight: float,
+    use_bbd: bool,
+    max_length: int,
+) -> BlockDecodeState:
+    """The whole per-block beam loop as ONE device program.
+
+    Replicates the host control flow of the reference _decode_one_block
+    (beam_search.py:655-838) — per-stream EOS stop, BBD one-step rollback,
+    rewind snapshot bookkeeping, and the block-end rewind — inside a
+    lax.while_loop, eliminating the per-step host round trip.
+    """
+    stepping0 = state.stepping
+
+    def cond(st: BlockDecodeState):
+        return jnp.any(st.stepping)
+
+    def body(st: BlockDecodeState) -> BlockDecodeState:
+        stepping = st.stepping & (st.process_idx < max_length)
+        old = st.arrays
+        new, flags = _beam_step_core(
+            params, dec_pe, mem_cache, old, vis_len, cfg, beam, pre_beam,
+            ctc_weight, use_bbd,
+        )
+        output_index = jnp.where(stepping, st.output_index + 1,
+                                 st.output_index)
+        # BBD rollback: keep old arrays for those streams (reference :780-800)
+        bbd = stepping & use_bbd & ~block_final & flags.repetition & (
+            ~flags.eos_in_beam
+        )
+        advanced = stepping & ~bbd
+        arrays = select_arrays(advanced, new, old)
+        output_index = jnp.where(bbd, output_index - 1, output_index)
+
+        # Stop conditions (reference :760-809).
+        stop_eos = stepping & flags.eos_in_beam & ~block_final
+        stop_eos_final = stepping & block_final & flags.best_is_eos
+        cont = advanced & ~stop_eos & ~stop_eos_final
+
+        # Save rewind snapshot for continuing streams (reference :811-816).
+        prev_arrays = select_arrays(cont, arrays, st.prev_arrays)
+        prev_valid = st.prev_valid | cont
+        process_idx = jnp.where(cont, st.process_idx + 1, st.process_idx)
+        stepping = cont & (process_idx < max_length)
+        return BlockDecodeState(
+            arrays=arrays,
+            prev_arrays=prev_arrays,
+            prev_valid=prev_valid,
+            process_idx=process_idx,
+            output_index=output_index,
+            stepping=stepping,
+        )
+
+    st = jax.lax.while_loop(cond, body, state)
+
+    # Block-end rewind (reference :824-837); hypothesis state restores from
+    # the snapshot, the CTC log-prob ring is append-only, forward variables
+    # are lazily re-extended over frames added after the snapshot.
+    rewind = stepping0 & (st.process_idx > 1) & st.prev_valid
+    restored = select_arrays(rewind, st.prev_arrays, st.arrays)
+    from speechcatcher_tpu.decode.ctc_prefix import _fill_blank
+
+    from_len = jnp.where(rewind, st.prev_arrays.ctc.enc_len,
+                         st.arrays.ctc.enc_len)
+    r = _fill_blank(
+        st.arrays.ctc.logp, restored.ctc.r, from_len.astype(jnp.int32),
+        st.arrays.ctc.enc_len,
+    )
+    ctc = CTCScorerState(
+        logp=st.arrays.ctc.logp,
+        enc_len=st.arrays.ctc.enc_len,
+        r=r,
+        s=restored.ctc.s,
+    )
+    arrays = restored._replace(ctc=ctc)
+    return BlockDecodeState(
+        arrays=arrays,
+        prev_arrays=st.prev_arrays,
+        prev_valid=jnp.where(rewind, False, st.prev_valid),
+        process_idx=jnp.where(rewind, st.process_idx - 1, st.process_idx),
+        output_index=st.output_index,
+        stepping=jnp.zeros_like(st.stepping),
     )
 
 
@@ -362,59 +507,40 @@ class BlockwiseSynchronousBeamSearch:
         st.vis_len = cur_end
 
     def _decode_one_block(self, cur_end: int, block_is_final: bool):
-        """Beam-step loop for one block (reference _decode_one_block :655-838)."""
+        """Beam-step loop for one block, executed as ONE device program
+        (reference _decode_one_block :655-838)."""
         st = self.state
         self._extend_scorers(cur_end)
         if st.vis_len == 0:
             return
 
-        prev_step_arrays = st.arrays  # rollback target (reference :697)
-        vis = jnp.array([st.vis_len], jnp.int32)
-
-        while st.process_idx < self.max_length:
-            st.output_index += 1
-            new_arrays, flags = beam_step(
-                self.model.params,
-                self.model.dec_pe,
-                st.mem_cache,
-                st.arrays,
-                vis,
-                self.cfg,
-                self.beam_size,
-                self.pre_beam,
-                self.ctc_weight,
-                self.use_bbd,
-            )
-            st.arrays = new_arrays
-
-            # EOS stopping (reference :760-778).
-            if bool(flags.eos_in_beam[0]):
-                if not block_is_final:
-                    break
-                if bool(flags.best_is_eos[0]):
-                    break
-
-            # BBD repetition → rollback one step (reference :780-800).
-            if self.use_bbd and not block_is_final and bool(
-                flags.repetition[0]
-            ):
-                st.arrays = restore_hypotheses(prev_step_arrays, st.arrays)
-                st.output_index -= 1
-                break
-
-            if bool(flags.all_eos[0]) and block_is_final:
-                break
-
-            prev_step_arrays = st.arrays
-            # Save rewind snapshot AFTER all break checks (reference :811-816).
-            st.prev_arrays = st.arrays
-            st.process_idx += 1
-
-        # Block-end rewind (reference :824-837).
-        if st.process_idx > 1 and st.prev_arrays is not None:
-            st.arrays = restore_hypotheses(st.prev_arrays, st.arrays)
-            st.process_idx -= 1
-            st.prev_arrays = None
+        prev = st.prev_arrays if st.prev_arrays is not None else st.arrays
+        dev_state = BlockDecodeState(
+            arrays=st.arrays,
+            prev_arrays=prev,
+            prev_valid=jnp.array([st.prev_arrays is not None]),
+            process_idx=jnp.array([st.process_idx], jnp.int32),
+            output_index=jnp.array([st.output_index], jnp.int32),
+            stepping=jnp.array([True]),
+        )
+        out = decode_block_device(
+            self.model.params,
+            self.model.dec_pe,
+            st.mem_cache,
+            dev_state,
+            jnp.array([st.vis_len], jnp.int32),
+            jnp.array([block_is_final]),
+            self.cfg,
+            self.beam_size,
+            self.pre_beam,
+            self.ctc_weight,
+            self.use_bbd,
+            self.max_length,
+        )
+        st.arrays = out.arrays
+        st.prev_arrays = out.prev_arrays if bool(out.prev_valid[0]) else None
+        st.process_idx = int(out.process_idx[0])
+        st.output_index = int(out.output_index[0])
 
     # ------------------------------------------------------------------
     # Output assembly

@@ -184,12 +184,10 @@ def ctc_score_candidates(
         r_sum[:, :, :, None],
     )                                                            # (S, B, T, K)
 
-    # x_n for candidates: gather (S, T, K') per hyp.
-    xn_c = jnp.take_along_axis(
-        state.logp[:, None, :, :].repeat(beam, axis=1),
-        cand_ids[:, :, None, :].repeat(t_cap, axis=2),
-        axis=-1,
-    )                                                            # (S, B, T, K)
+    # x_n for candidates: direct gather, no materialized (S,B,T,V) repeat.
+    s_idx = jnp.arange(s_dim)[:, None, None, None]
+    xn_c = state.logp[s_idx, jnp.arange(t_cap)[None, None, :, None],
+                      cand_ids[:, :, None, :]]                   # (S, B, T, K)
 
     start = jnp.minimum(jnp.maximum(olen, 1), t_cap)             # (S,)
     end = state.enc_len                                          # (S,)
@@ -270,11 +268,9 @@ def ctc_advance_state(
         (token_r == last_src)[:, :, None], r_src[:, :, :, 1], r_sum
     )                                                            # (S, B, T)
 
-    xn = jnp.take_along_axis(
-        state.logp[:, None, :, :].repeat(beam, axis=1),
-        token_r[:, :, None, None].repeat(t_cap, axis=2),
-        axis=-1,
-    )[:, :, :, 0]                                                # (S, B, T)
+    s_idx = jnp.arange(s_dim)[:, None, None]
+    xn = state.logp[s_idx, jnp.arange(t_cap)[None, None, :],
+                    token_r[:, :, None]]                         # (S, B, T)
     xb = state.logp[:, None, :, 0]                               # (S, 1, T)
     xb = jnp.broadcast_to(xb, xn.shape)
 

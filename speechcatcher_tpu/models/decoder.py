@@ -211,19 +211,44 @@ def _attend_cached(
 
 # NB: no buffer donation — beam-search rewind/rollback keeps references to
 # previous cache snapshots (free under JAX immutability).
+def _attend_cross_blocked(
+    q: jnp.ndarray,      # (N, d) queries, hyps laid out as (S, B) blocks
+    mk: jnp.ndarray,     # (S, T, d) per-stream memory keys
+    mv: jnp.ndarray,     # (S, T, d)
+    valid: jnp.ndarray,  # (S, T) bool
+    n_head: int,
+) -> jnp.ndarray:
+    """Cross-attention without duplicating K/V per hypothesis: all B beam
+    hypotheses of a stream share its memory cache."""
+    s, t, d = mk.shape
+    n = q.shape[0]
+    b = n // s
+    dk = d // n_head
+    qh = q.reshape(s, b, n_head, dk)
+    kh = mk.reshape(s, t, n_head, dk)
+    vh = mv.reshape(s, t, n_head, dk)
+    scores = jnp.einsum("sbhd,sthd->sbht", qh, kh,
+                        preferred_element_type=jnp.float32) / math.sqrt(dk)
+    scores = jnp.where(valid[:, None, None, :], scores, MASK_MIN)
+    attn = jax.nn.softmax(scores, axis=-1)
+    attn = jnp.where(valid[:, None, None, :], attn, 0.0)
+    out = jnp.einsum("sbht,sthd->sbhd", attn, vh,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(n, d)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def decoder_step(
     params: Params,
     pe: jnp.ndarray,
     cache: DecoderCache,
     mem_cache: MemoryCache,
-    tokens: jnp.ndarray,       # (N,) last token of each hypothesis
+    tokens: jnp.ndarray,       # (N,) last token; hyps laid out as (S, B)
     pos: jnp.ndarray,          # (N,) position index of that token (= len-1)
-    enc_len: jnp.ndarray,      # (N,) valid encoder frames per hypothesis
-    stream_idx: jnp.ndarray,   # (N,) stream id per hypothesis
+    enc_len: jnp.ndarray,      # (S,) valid encoder frames per stream
     cfg: ModelConfig,
 ) -> Tuple[jnp.ndarray, DecoderCache]:
-    """Score the next token for N hypotheses.
+    """Score the next token for N = S·B hypotheses.
 
     Returns (log-probs (N, vocab), updated cache). Numerically equivalent to
     reference forward_one_step (transformer_decoder.py:210-251).
@@ -236,7 +261,7 @@ def decoder_step(
     x = params["embed"]["weight"][tokens] * math.sqrt(d) + pe[pos]  # (N, d)
 
     self_valid = jnp.arange(lmax)[None, :] <= pos[:, None]          # (N, Lmax)
-    mem_valid = jnp.arange(tmax)[None, :] < enc_len[:, None]        # (N, Tmax)
+    mem_valid = jnp.arange(tmax)[None, :] < enc_len[:, None]        # (S, Tmax)
     pos_onehot = jax.nn.one_hot(pos, lmax, dtype=x.dtype)           # (N, Lmax)
 
     def body(carry, layer_in):
@@ -253,13 +278,12 @@ def decoder_step(
         q = linear(p_layer["self_attn"]["linear_q"], hn)
         att = _attend_cached(q, k_l, v_l, self_valid, cfg.decoder_heads)
         h = residual + linear(p_layer["self_attn"]["linear_out"], att)
-        # Cross-attention over cached memory K/V.
+        # Cross-attention over per-stream cached memory K/V.
         residual = h
         hn = layer_norm(p_layer["norm2"], h)
         q = linear(p_layer["src_attn"]["linear_q"], hn)
-        mk = mk_l[stream_idx]  # (N, Tmax, d)
-        mv = mv_l[stream_idx]
-        att = _attend_cached(q, mk, mv, mem_valid, cfg.decoder_heads)
+        att = _attend_cross_blocked(q, mk_l, mv_l, mem_valid,
+                                    cfg.decoder_heads)
         h = residual + linear(p_layer["src_attn"]["linear_out"], att)
         # FFN.
         residual = h

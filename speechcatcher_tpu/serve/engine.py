@@ -41,8 +41,9 @@ import numpy as np
 from speechcatcher_tpu.config import ModelConfig
 from speechcatcher_tpu.decode.beam_search import (
     BeamArrays,
+    BlockDecodeState,
     BlockwiseSynchronousBeamSearch,
-    beam_step,
+    decode_block_device,
     init_beam_arrays,
 )
 from speechcatcher_tpu.decode.ctc_prefix import (
@@ -366,9 +367,6 @@ class SlotCounters:
     buf_len: np.ndarray
     vis_len: np.ndarray
     processed_block: np.ndarray
-    process_idx: np.ndarray
-    output_index: np.ndarray
-    prev_valid: np.ndarray
 
     @classmethod
     def zeros(cls, s: int) -> "SlotCounters":
@@ -384,19 +382,15 @@ class SlotCounters:
             buf_len=np.zeros(s, np.int64),
             vis_len=np.zeros(s, np.int64),
             processed_block=np.zeros(s, np.int64),
-            process_idx=np.zeros(s, np.int64),
-            output_index=np.zeros(s, np.int64),
-            prev_valid=np.zeros(s, bool),
         )
 
     def reset_slot(self, s: int):
         self.active[s] = False
         self.first_wave[s] = True
         for a in (self.wave_len, self.raw_len, self.post_len, self.npb,
-                  self.buf_len, self.vis_len, self.processed_block,
-                  self.process_idx, self.output_index):
+                  self.buf_len, self.vis_len, self.processed_block):
             a[s] = 0
-        self.has_prev[s] = self.has_past[s] = self.prev_valid[s] = False
+        self.has_prev[s] = self.has_past[s] = False
 
 
 class StreamingEngine:
@@ -453,6 +447,9 @@ class StreamingEngine:
         )
         self.arrays = init_beam_arrays(cfg, self.S, beam_size)
         self.prev_arrays = self.arrays
+        self.prev_valid_dev = jnp.zeros((self.S,), bool)
+        self.process_idx_dev = jnp.zeros((self.S,), jnp.int32)
+        self.output_index_dev = jnp.zeros((self.S,), jnp.int32)
         self.mem_cache = init_memory_cache(cfg, self.S)
         self.c = SlotCounters.zeros(self.S)
 
@@ -489,6 +486,10 @@ class StreamingEngine:
         self.mem_cache = _select_mem(mask, fresh_mem, self.mem_cache)
         zero_buf = jax.tree.map(jnp.zeros_like, self.buffers)
         self.buffers = _select_buffers(mask, zero_buf, self.buffers)
+        m = jnp.asarray(mask)
+        self.prev_valid_dev = jnp.where(m, False, self.prev_valid_dev)
+        self.process_idx_dev = jnp.where(m, 0, self.process_idx_dev)
+        self.output_index_dev = jnp.where(m, 0, self.output_index_dev)
 
     # ------------------------------------------------------------------
     # Tick
@@ -515,7 +516,21 @@ class StreamingEngine:
 
         self._tick_encode(audio_batch, do)
         self._run_rounds(do)
-        return {s: self.partial_tokens(s) for s in slots}
+
+        # ONE bulk readback per tick (per-slot reads would pay the host
+        # round-trip latency once per slot).
+        ylen = np.asarray(self.arrays.ylen)
+        best = np.asarray(self.arrays.yseq[:, 0, :])
+        out: Dict[int, List[int]] = {}
+        drop = {self.cfg.blank_id, self.cfg.eos_id}
+        for s in slots:
+            n = int(ylen[s])
+            out[s] = (
+                [int(t) for t in best[s, 1 : n - 1] if int(t) not in drop]
+                if n > 2
+                else []
+            )
+        return out
 
     # -- frontend + encoder -------------------------------------------------
     def _tick_encode(self, audio_batch: np.ndarray, do: np.ndarray):
@@ -676,76 +691,36 @@ class StreamingEngine:
         c.vis_len = np.where(mask, new_vis, c.vis_len)
 
     def _beam_loop(self, ready: np.ndarray, block_final: np.ndarray):
-        """Masked lockstep beam stepping (reference inner loop :701-821)."""
+        """Per-block beam loop: one device program for the whole batch
+        (EOS stop, BBD rollback, rewind — decode_block_device)."""
         c = self.c
-        stepping = ready.copy()
-        while stepping.any():
-            stepping &= c.process_idx < self.max_length
-            if not stepping.any():
-                break
-            c.output_index = np.where(
-                stepping, c.output_index + 1, c.output_index
-            )
-            old_arrays = self.arrays
-            new_arrays, flags = beam_step(
-                self.model.params,
-                self.model.dec_pe,
-                self.mem_cache,
-                old_arrays,
-                jnp.asarray(c.vis_len.astype(np.int32)),
-                self.cfg,
-                self.beam,
-                self.pre_beam,
-                self.ctc_weight,
-                self.use_bbd,
-            )
-            eos = np.asarray(flags.eos_in_beam)
-            best_eos = np.asarray(flags.best_is_eos)
-            rep = np.asarray(flags.repetition)
-
-            # BBD rollback: keep old arrays for those streams.
-            bbd = stepping & self.use_bbd & ~block_final & rep & ~eos
-            advanced = stepping & ~bbd
-            self.arrays = _select_arrays(advanced, new_arrays, old_arrays)
-            c.output_index = np.where(
-                bbd, c.output_index - 1, c.output_index
-            )
-
-            # Stop conditions.
-            stop_eos = stepping & eos & ~block_final
-            stop_eos_final = stepping & block_final & best_eos
-            cont = advanced & ~stop_eos & ~stop_eos_final
-
-            # Save rewind snapshot for continuing streams.
-            self.prev_arrays = _select_arrays(
-                cont, self.arrays, self.prev_arrays
-            )
-            c.prev_valid = c.prev_valid | cont
-            c.process_idx = np.where(cont, c.process_idx + 1, c.process_idx)
-            stepping = cont
-
-        # Block-end rewind (reference :824-837). Hypothesis state restores
-        # from the snapshot; the CTC log-prob ring is append-only (kept from
-        # current) and forward variables are lazily re-extended over frames
-        # added after the snapshot.
-        rewind = ready & (c.process_idx > 1) & c.prev_valid
-        if rewind.any():
-            cur = self.arrays
-            restored = _select_arrays(rewind, self.prev_arrays, cur)
-            ctc = CTCScorerState(
-                logp=cur.ctc.logp,
-                enc_len=cur.ctc.enc_len,
-                r=restored.ctc.r,
-                s=restored.ctc.s,
-            )
-            from_len = jnp.where(
-                jnp.asarray(rewind), self.prev_arrays.ctc.enc_len,
-                cur.ctc.enc_len,
-            )
-            ctc = ctc_refill_blank(ctc, from_len)
-            self.arrays = restored._replace(ctc=ctc)
-            c.process_idx = np.where(rewind, c.process_idx - 1, c.process_idx)
-            c.prev_valid = np.where(rewind, False, c.prev_valid)
+        dev_state = BlockDecodeState(
+            arrays=self.arrays,
+            prev_arrays=self.prev_arrays,
+            prev_valid=self.prev_valid_dev,
+            process_idx=self.process_idx_dev,
+            output_index=self.output_index_dev,
+            stepping=jnp.asarray(ready),
+        )
+        out = decode_block_device(
+            self.model.params,
+            self.model.dec_pe,
+            self.mem_cache,
+            dev_state,
+            jnp.asarray(c.vis_len.astype(np.int32)),
+            jnp.asarray(block_final),
+            self.cfg,
+            self.beam,
+            self.pre_beam,
+            self.ctc_weight,
+            self.use_bbd,
+            self.max_length,
+        )
+        self.arrays = out.arrays
+        self.prev_arrays = out.prev_arrays
+        self.prev_valid_dev = out.prev_valid
+        self.process_idx_dev = out.process_idx
+        self.output_index_dev = out.output_index
 
     # ------------------------------------------------------------------
     # Output + finalize
@@ -806,8 +781,8 @@ class StreamingEngine:
             st.enc_buf = self.buffers.enc_out[s : s + 1, : int(c.buf_len[s]), :]
         st.vis_len = int(c.vis_len[s])
         st.processed_block = int(c.processed_block[s])
-        st.process_idx = int(c.process_idx[s])
-        st.output_index = int(c.output_index[s])
+        st.process_idx = int(self.process_idx_dev[s])
+        st.output_index = int(self.output_index_dev[s])
 
         # Beam arrays slice (S=1).
         b = self.beam
@@ -830,7 +805,7 @@ class StreamingEngine:
                 s=a.ctc.s[s : s + 1],
             ),
         )
-        if c.prev_valid[s]:
+        if bool(self.prev_valid_dev[s]):
             p = self.prev_arrays
             st.prev_arrays = BeamArrays(
                 yseq=p.yseq[s : s + 1],

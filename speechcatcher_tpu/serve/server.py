@@ -1,0 +1,307 @@
+"""Vosk-compatible websocket streaming ASR server, batched on one chip.
+
+Counterpart of /root/reference/speechcatcher/speechcatcher_server.py, with
+the architecture inverted for TPU: the reference preloads N independent
+model replicas and runs inference synchronously inside each connection
+handler (one stream per replica/CPU core, one slow session stalls others —
+speechcatcher_server.py:331-357 and the note in SURVEY §3.4). Here ONE
+engine with S slots serves all sessions: connections stage audio, a central
+batcher ticks the engine with a fixed-size chunk per active session, and
+partial/final Vosk JSON flows back per session.
+
+Protocol (Vosk API emulation, reference :205-328):
+- binary frames: audio (s16le PCM at the configured rate, or any ffmpeg
+  format when --format is set and ffmpeg is available)
+- text frames: '{"config": {"sample_rate": N}}', '{"eof": 1}', '{"reset": 1}'
+- replies: {"partial": "..."} per chunk; {"result": [{conf,start,end,word}],
+  "text": "..."} on finalization. Unlike the reference (dummy idx*0.1
+  placeholders, :304-328), word timings come from real xpos frame indices.
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+import logging
+import subprocess
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from speechcatcher_tpu.serve.engine import StreamingEngine
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class Session:
+    """Per-connection state: staging buffer + endpointing counters."""
+
+    slot: int
+    sample_rate: int = 16000
+    staged: np.ndarray = field(
+        default_factory=lambda: np.zeros(0, dtype=np.float32)
+    )
+    n_best_lens: List[int] = field(default_factory=list)
+    partial_iters: int = 0
+    pending_final: bool = False
+    closed: bool = False
+    outbox: Optional[asyncio.Queue] = None
+    ffmpeg: Optional[subprocess.Popen] = None
+
+    def stage_pcm16(self, data: bytes):
+        pcm = np.frombuffer(data, dtype=np.int16).astype(np.float32) / 32767.0
+        self.staged = np.concatenate([self.staged, pcm])
+
+
+class SessionManager:
+    """Engine front: stages audio per session, ticks the batch, applies
+    plateau endpointing, assembles Vosk messages. Pure-Python — testable
+    without sockets."""
+
+    def __init__(
+        self,
+        engine: StreamingEngine,
+        finalize_update_iters: int = 6,
+        max_partial_iters: int = 42,
+    ):
+        self.engine = engine
+        self.tokenizer = engine.model.tokenizer
+        self.cfg = engine.model.cfg
+        self.chunk = engine.A
+        self.finalize_update_iters = finalize_update_iters
+        self.max_partial_iters = max_partial_iters
+        self.sessions: Dict[int, Session] = {}
+        self._next_id = 0
+        self.frame_sec = (
+            self.cfg.hop_length * self.cfg.subsample / self.cfg.sample_rate
+        )
+
+    # -- session lifecycle -------------------------------------------------
+    def open_session(self) -> Optional[int]:
+        slot = self.engine.acquire_slot()
+        if slot is None:
+            return None  # server busy (reference :364-368)
+        sid = self._next_id
+        self._next_id += 1
+        self.sessions[sid] = Session(slot=slot)
+        return sid
+
+    def close_session(self, sid: int):
+        sess = self.sessions.pop(sid, None)
+        if sess is not None:
+            self.engine.release_slot(sess.slot)
+            if sess.ffmpeg is not None:
+                sess.ffmpeg.terminate()
+
+    # -- data path ----------------------------------------------------------
+    def feed(self, sid: int, data: bytes):
+        self.sessions[sid].stage_pcm16(data)
+
+    def request_final(self, sid: int):
+        self.sessions[sid].pending_final = True
+
+    def ready(self) -> bool:
+        return any(
+            len(s.staged) >= self.chunk or s.pending_final
+            for s in self.sessions.values()
+        )
+
+    def tick(self) -> Dict[int, dict]:
+        """One engine tick over all sessions with a full chunk staged, then
+        finalization for sessions with a pending final. Returns
+        sid → Vosk-style message."""
+        out: Dict[int, dict] = {}
+
+        batch: Dict[int, np.ndarray] = {}
+        sid_by_slot: Dict[int, int] = {}
+        for sid, sess in self.sessions.items():
+            if len(sess.staged) >= self.chunk and not sess.pending_final:
+                batch[sess.slot] = sess.staged[: self.chunk]
+                sess.staged = sess.staged[self.chunk :]
+                sid_by_slot[sess.slot] = sid
+
+        if batch:
+            partials = self.engine.tick(batch)
+            for slot, token_ids in partials.items():
+                sid = sid_by_slot[slot]
+                sess = self.sessions[sid]
+                text = self.tokenizer.ids_to_text(token_ids)
+                sess.partial_iters += 1
+                # Plateau endpointing (reference :252-265).
+                sess.n_best_lens.append(len(text))
+                n = self.finalize_update_iters
+                if sess.partial_iters > self.max_partial_iters:
+                    sess.pending_final = True
+                elif len(sess.n_best_lens) > n and all(
+                    x == sess.n_best_lens[-1] for x in sess.n_best_lens[-n:]
+                ) and len(text) > 0:
+                    sess.pending_final = True
+                out[sid] = {"partial": text}
+
+        for sid, sess in list(self.sessions.items()):
+            if sess.pending_final:
+                out[sid] = self._finalize(sess)
+        return out
+
+    def _finalize(self, sess: Session) -> dict:
+        last = sess.staged
+        sess.staged = np.zeros(0, dtype=np.float32)
+        yseq, xpos, _score = self.engine.finalize(sess.slot, last)
+        ids = list(map(int, yseq[1:]))
+        pos = list(map(int, xpos[1:]))
+        if ids and ids[-1] == self.cfg.eos_id:
+            ids, pos = ids[:-1], pos[:-1]
+        drop = {self.cfg.blank_id, self.tokenizer.unk_id, self.cfg.eos_id}
+        words = []
+        text_parts = []
+        for tid, p in zip(ids, pos):
+            if tid in drop:
+                continue
+            piece = self.tokenizer.token_list[tid]
+            start = p * self.frame_sec
+            words.append(
+                {
+                    "conf": 1.0,
+                    "start": round(start, 3),
+                    "end": round(start + self.frame_sec, 3),
+                    "word": piece.replace("▁", " "),
+                }
+            )
+            text_parts.append(piece)
+        text = "".join(text_parts).replace("▁", " ").strip()
+        # Re-arm the session on the same manager entry with a fresh slot.
+        sess.pending_final = False
+        sess.n_best_lens = []
+        sess.partial_iters = 0
+        slot = self.engine.acquire_slot()
+        if slot is None:
+            sess.closed = True
+        else:
+            sess.slot = slot
+        return {"result": words, "text": text}
+
+
+# ---------------------------------------------------------------------------
+# Websocket layer
+# ---------------------------------------------------------------------------
+
+async def _batcher(manager: SessionManager, tick_interval: float):
+    """Central loop: tick whenever any session has a full chunk staged."""
+    while True:
+        if manager.ready():
+            out = await asyncio.to_thread(manager.tick)
+            for sid, msg in out.items():
+                sess = manager.sessions.get(sid)
+                if sess is not None and sess.outbox is not None:
+                    await sess.outbox.put(json.dumps(msg))
+        else:
+            await asyncio.sleep(tick_interval)
+
+
+async def recognize_ws(connection, manager: SessionManager,
+                       vosk_output_format: bool = True):
+    sid = manager.open_session()
+    if sid is None:
+        await connection.send("Server busy, please try again later.")
+        await connection.close()
+        return
+    sess = manager.sessions[sid]
+    sess.outbox = asyncio.Queue()
+
+    async def sender():
+        while True:
+            msg = await sess.outbox.get()
+            await connection.send(msg)
+
+    send_task = asyncio.create_task(sender())
+    try:
+        async for message in connection:
+            if isinstance(message, str):
+                try:
+                    msg = json.loads(message)
+                except json.JSONDecodeError:
+                    continue
+                if msg.get("eof") == 1 or msg.get("reset") == 1:
+                    manager.request_final(sid)
+                elif "config" in msg:
+                    sess.sample_rate = int(
+                        msg["config"].get("sample_rate", 16000)
+                    )
+                    await connection.send(json.dumps({"partial": ""}))
+            else:
+                if sess.sample_rate != manager.cfg.sample_rate:
+                    pcm = np.frombuffer(message, dtype=np.int16)
+                    from speechcatcher_tpu.utils.audio import resample_int16
+
+                    pcm = resample_int16(
+                        pcm, sess.sample_rate, manager.cfg.sample_rate
+                    )
+                    manager.sessions[sid].staged = np.concatenate(
+                        [manager.sessions[sid].staged,
+                         pcm.astype(np.float32) / 32767.0]
+                    )
+                else:
+                    manager.feed(sid, message)
+    except Exception:
+        logger.info("Client disconnected")
+    finally:
+        send_task.cancel()
+        manager.close_session(sid)
+
+
+async def start_server(host: str, port: int, manager: SessionManager,
+                       tick_interval: float = 0.02):
+    import websockets
+
+    batch_task = asyncio.create_task(_batcher(manager, tick_interval))
+
+    async def handler(connection):
+        await recognize_ws(connection, manager)
+
+    async with websockets.serve(handler, host, port):
+        await asyncio.Future()
+
+
+def main():
+    from speechcatcher_tpu.recognize import load_model, tags
+
+    parser = argparse.ArgumentParser(
+        description="speechcatcher_tpu websocket server (Vosk-compatible)"
+    )
+    parser.add_argument("--host", type=str, default="localhost")
+    parser.add_argument("--port", type=int, default=2700)
+    parser.add_argument("--model", type=str,
+                        default="de_streaming_transformer_xl")
+    parser.add_argument("--beamsize", type=int, default=3)
+    parser.add_argument("--cache-dir", type=str,
+                        default="~/.cache/speechcatcher_tpu")
+    parser.add_argument("--pool-size", type=int, default=64,
+                        help="Concurrent stream slots (one model copy; the "
+                        "reference preloads this many replicas)")
+    parser.add_argument("--vosk-output-format", action="store_true",
+                        default=True)
+    parser.add_argument("--finalize-update-iters", type=int, default=6)
+    parser.add_argument("--max_partial_iters", type=int, default=42)
+    args = parser.parse_args()
+
+    s2t = load_model(tag=args.model, beam_size=args.beamsize,
+                     cache_dir=args.cache_dir)
+    engine = StreamingEngine(
+        s2t.model, n_slots=args.pool_size, beam_size=args.beamsize
+    )
+    manager = SessionManager(
+        engine,
+        finalize_update_iters=args.finalize_update_iters,
+        max_partial_iters=args.max_partial_iters,
+    )
+    print(f"Serving {args.pool_size} concurrent streams on "
+          f"ws://{args.host}:{args.port}")
+    asyncio.run(start_server(args.host, args.port, manager))
+
+
+if __name__ == "__main__":
+    main()

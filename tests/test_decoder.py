@@ -97,8 +97,7 @@ def test_incremental_step_parity_with_reorder(setup):
     sos = CFG.sos_id
     yseqs = np.full((n, 1), sos, dtype=np.int64)
     ref_states = [None] * n
-    enc_len = jnp.full((n,), tm, jnp.int32)
-    stream_idx = jnp.zeros((n,), jnp.int32)
+    enc_len = jnp.full((1,), tm, jnp.int32)  # one stream, n beam hyps
 
     for step in range(4):
         ref_logp, ref_states = _reference_batch_score(
@@ -112,7 +111,6 @@ def test_incremental_step_parity_with_reorder(setup):
             jnp.asarray(yseqs[:, -1].astype(np.int32)),
             jnp.full((n,), yseqs.shape[1] - 1, jnp.int32),
             enc_len,
-            stream_idx,
             CFG,
         )
         np.testing.assert_allclose(
