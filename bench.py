@@ -75,7 +75,7 @@ def main():
     platform = jax.devices()[0].platform
     on_accelerator = platform not in ("cpu",)
 
-    cfg = _flagship_config()
+    cfg = _flagship_config().replace(cache_dtype="bfloat16")
     if not on_accelerator:
         # Local smoke mode: tiny model + tiny ladder so CI stays fast.
         from speechcatcher_tpu.config import tiny_config
@@ -83,7 +83,7 @@ def main():
         cfg = tiny_config()
         ladder = [2]
     else:
-        ladder = [16, 32, 64, 96, 128, 160]
+        ladder = [96, 112, 128, 160]
 
     model = ASRModel.random_init(cfg, seed=0)
     beam = 5 if on_accelerator else 2

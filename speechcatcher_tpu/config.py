@@ -66,6 +66,19 @@ class ModelConfig:
     max_enc_frames: int = 2048   # encoder-output ring capacity (~82 s audio)
     max_tokens: int = 500        # matches reference max_length beam_search.py:49
 
+    # Attention KV-cache storage dtype ("float32" | "bfloat16"). bf16 halves
+    # the dominant HBM footprint/traffic of serving (decoder self/cross KV);
+    # matmuls still accumulate in fp32 on the MXU. CTC state stays fp32.
+    cache_dtype: str = "float32"
+
+    @property
+    def cache_jnp_dtype(self):
+        import jax.numpy as jnp
+
+        return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
+            self.cache_dtype
+        ]
+
     @property
     def sos_id(self) -> int:
         return self.vocab_size - 1

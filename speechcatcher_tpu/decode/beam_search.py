@@ -92,7 +92,9 @@ def init_beam_arrays(cfg: ModelConfig, n_streams: int, beam: int) -> BeamArrays:
     lmax = cfg.max_tokens
     yseq = jnp.zeros((n_streams, beam, lmax), jnp.int32)
     yseq = yseq.at[:, :, 0].set(cfg.sos_id)
-    score = jnp.full((n_streams, beam), NEG_INF)
+    # NB: explicit dtypes — weak-typed leaves would change avals after the
+    # first step and trigger a silent recompile of the decode program.
+    score = jnp.full((n_streams, beam), NEG_INF, dtype=jnp.float32)
     score = score.at[:, 0].set(0.0)  # single live hypothesis at start
     return BeamArrays(
         yseq=yseq,
@@ -295,10 +297,55 @@ class BlockDecodeState(NamedTuple):
     stepping: jnp.ndarray     # (S,) bool
 
 
+def _slice_arrays(a: BeamArrays, l_bound: int, t_bound: int) -> BeamArrays:
+    """Working view bounded to the live prefix/frames: the decode loop then
+    reads/copies only the active region of every capacity-padded buffer."""
+    return BeamArrays(
+        yseq=a.yseq[:, :, :l_bound],
+        xpos=a.xpos[:, :, :l_bound],
+        ylen=a.ylen,
+        score=a.score,
+        score_dec=a.score_dec,
+        score_ctc=a.score_ctc,
+        dec_cache=DecoderCache(
+            k=a.dec_cache.k[:, :, :l_bound], v=a.dec_cache.v[:, :, :l_bound]
+        ),
+        ctc=CTCScorerState(
+            logp=a.ctc.logp[:, :, :t_bound],
+            enc_len=a.ctc.enc_len,
+            r=a.ctc.r[:, :, :, :t_bound],
+            s=a.ctc.s,
+        ),
+    )
+
+
+def _merge_arrays(full: BeamArrays, view: BeamArrays, l_bound: int,
+                  t_bound: int) -> BeamArrays:
+    """Write a bounded working view back into the full-capacity arrays."""
+    return BeamArrays(
+        yseq=full.yseq.at[:, :, :l_bound].set(view.yseq),
+        xpos=full.xpos.at[:, :, :l_bound].set(view.xpos),
+        ylen=view.ylen,
+        score=view.score,
+        score_dec=view.score_dec,
+        score_ctc=view.score_ctc,
+        dec_cache=DecoderCache(
+            k=full.dec_cache.k.at[:, :, :l_bound].set(view.dec_cache.k),
+            v=full.dec_cache.v.at[:, :, :l_bound].set(view.dec_cache.v),
+        ),
+        ctc=CTCScorerState(
+            logp=full.ctc.logp,  # append-only ring, unchanged by the loop
+            enc_len=view.ctc.enc_len,
+            r=full.ctc.r.at[:, :, :, :t_bound].set(view.ctc.r),
+            s=view.ctc.s,
+        ),
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "beam", "pre_beam", "ctc_weight", "use_bbd",
-                     "max_length"),
+                     "max_length", "l_bound", "t_bound"),
 )
 def decode_block_device(
     params,
@@ -313,6 +360,8 @@ def decode_block_device(
     ctc_weight: float,
     use_bbd: bool,
     max_length: int,
+    l_bound: Optional[int] = None,
+    t_bound: Optional[int] = None,
 ) -> BlockDecodeState:
     """The whole per-block beam loop as ONE device program.
 
@@ -320,17 +369,41 @@ def decode_block_device(
     (beam_search.py:655-838) — per-stream EOS stop, BBD one-step rollback,
     rewind snapshot bookkeeping, and the block-end rewind — inside a
     lax.while_loop, eliminating the per-step host round trip.
+
+    l_bound/t_bound (static) bound the live token prefix / encoder frames:
+    the loop operates on sliced views of the capacity-padded buffers and the
+    result merges back once per block — per-step HBM traffic scales with
+    the LIVE lengths, not the capacities. A stream whose prefix would
+    outgrow l_bound pauses (the caller re-enters with a larger bucket).
     """
+    lmax_full = state.arrays.yseq.shape[2]
+    tmax_full = state.arrays.ctc.logp.shape[2]
+    l_bound = lmax_full if l_bound is None else min(l_bound, lmax_full)
+    t_bound = tmax_full if t_bound is None else min(t_bound, tmax_full)
+
+    full_arrays = state.arrays
+    full_prev = state.prev_arrays
+    mem_view = MemoryCache(
+        k=mem_cache.k[:, :, :t_bound], v=mem_cache.v[:, :, :t_bound]
+    )
+    state = state._replace(
+        arrays=_slice_arrays(full_arrays, l_bound, t_bound),
+        prev_arrays=_slice_arrays(full_prev, l_bound, t_bound),
+    )
     stepping0 = state.stepping
 
     def cond(st: BlockDecodeState):
         return jnp.any(st.stepping)
 
     def body(st: BlockDecodeState) -> BlockDecodeState:
-        stepping = st.stepping & (st.process_idx < max_length)
+        stepping = (
+            st.stepping
+            & (st.process_idx < max_length)
+            & (st.arrays.ylen + 1 < l_bound)
+        )
         old = st.arrays
         new, flags = _beam_step_core(
-            params, dec_pe, mem_cache, old, vis_len, cfg, beam, pre_beam,
+            params, dec_pe, mem_view, old, vis_len, cfg, beam, pre_beam,
             ctc_weight, use_bbd,
         )
         output_index = jnp.where(stepping, st.output_index + 1,
@@ -352,7 +425,15 @@ def decode_block_device(
         prev_arrays = select_arrays(cont, arrays, st.prev_arrays)
         prev_valid = st.prev_valid | cont
         process_idx = jnp.where(cont, st.process_idx + 1, st.process_idx)
-        stepping = cont & (process_idx < max_length)
+        stepping = cont & (process_idx < max_length) & (arrays.ylen + 1 < l_bound)
+        # The CTC log-prob ring and the frame counters never change inside a
+        # block — restore the originals so XLA drops the dead where-copies.
+        arrays = arrays._replace(
+            ctc=arrays.ctc._replace(logp=old.ctc.logp)
+        )
+        prev_arrays = prev_arrays._replace(
+            ctc=prev_arrays.ctc._replace(logp=old.ctc.logp)
+        )
         return BlockDecodeState(
             arrays=arrays,
             prev_arrays=prev_arrays,
@@ -385,8 +466,8 @@ def decode_block_device(
     )
     arrays = restored._replace(ctc=ctc)
     return BlockDecodeState(
-        arrays=arrays,
-        prev_arrays=st.prev_arrays,
+        arrays=_merge_arrays(full_arrays, arrays, l_bound, t_bound),
+        prev_arrays=_merge_arrays(full_prev, st.prev_arrays, l_bound, t_bound),
         prev_valid=jnp.where(rewind, False, st.prev_valid),
         process_idx=jnp.where(rewind, st.process_idx - 1, st.process_idx),
         output_index=st.output_index,

@@ -15,9 +15,11 @@ restructured for TPU:
    (not B·K candidates), expressed as a log-semiring matrix associative
    scan — O(log T) depth on TPU.
 
-State per stream: the CTC log-prob ring (S, Tcap, V) and per-hypothesis
-forward variables r (S, B, Tcap, 2) + scalar prefix score s (S, B). All
-fixed-shape; frame validity is carried by enc_len.
+Memory layout is time-minor: log-probs are stored transposed as
+(S, V, Tcap) so a candidate's frame row is ONE contiguous lane-aligned
+vector (token gathers become row DMAs, not element scatters), and forward
+variables are (S, B, 2, Tcap) so every reduction/elementwise op runs along
+the 128-lane axis.
 
 logzero = -1e10 (fp32), matching reference :54-58.
 """
@@ -36,9 +38,9 @@ LOGZERO = -1.0e10
 class CTCScorerState(NamedTuple):
     """Device-resident scorer state for a batch of streams."""
 
-    logp: jnp.ndarray     # (S, Tcap, V) CTC log-softmax outputs
+    logp: jnp.ndarray     # (S, V, Tcap) CTC log-softmax outputs, time-minor
     enc_len: jnp.ndarray  # (S,) valid frames
-    r: jnp.ndarray        # (S, B, Tcap, 2) forward vars [non-blank, blank]
+    r: jnp.ndarray        # (S, B, 2, Tcap) forward vars [non-blank, blank]
     s: jnp.ndarray        # (S, B) prefix scores
 
 
@@ -46,9 +48,9 @@ def init_ctc_state(
     n_streams: int, beam: int, t_cap: int, vocab: int
 ) -> CTCScorerState:
     return CTCScorerState(
-        logp=jnp.zeros((n_streams, t_cap, vocab)),
+        logp=jnp.zeros((n_streams, vocab, t_cap)),
         enc_len=jnp.zeros((n_streams,), jnp.int32),
-        r=jnp.full((n_streams, beam, t_cap, 2), LOGZERO),
+        r=jnp.full((n_streams, beam, 2, t_cap), LOGZERO, dtype=jnp.float32),
         s=jnp.zeros((n_streams, beam)),
     )
 
@@ -67,7 +69,7 @@ def ctc_extend(
     the cumulative-blank recursion r_b[t] = r_b[t-1] + x_blank[t] into the
     new frames for every hypothesis (r_n stays logzero there).
     """
-    s_dim, t_cap, vocab = state.logp.shape
+    s_dim, vocab, t_cap = state.logp.shape
     t_new = new_logp.shape[1]
     if n_new.dtype == jnp.bool_:
         n_new = jnp.where(n_new, t_new, 0)
@@ -79,8 +81,8 @@ def ctc_extend(
     onehot = jax.nn.one_hot(pos, t_cap, dtype=state.logp.dtype)  # (S,Tnew,Tcap)
     onehot = onehot * (jnp.arange(t_new)[None, :] < n_new[:, None])[..., None]
     written = jnp.clip(onehot.sum(axis=1), 0.0, 1.0)             # (S, Tcap)
-    logp = state.logp * (1.0 - written[:, :, None]) + jnp.einsum(
-        "stv,stm->smv", new_logp, onehot
+    logp = state.logp * (1.0 - written[:, None, :]) + jnp.einsum(
+        "stv,stm->svm", new_logp, onehot
     )
 
     new_len = old_len + n_new
@@ -89,11 +91,11 @@ def ctc_extend(
 
 
 def _fill_blank(logp, r, from_len, to_len):
-    """Fill r rows [from_len, to_len) per stream with the cumulative-blank
+    """Fill r columns [from_len, to_len) per stream with the cumulative-blank
     continuation r_b[t] = r_b[t-1] + x_blank[t], r_n = logzero
     (reference extend_state :350-368)."""
-    t_cap = logp.shape[1]
-    xb = logp[:, :, 0]                                           # (S, Tcap)
+    t_cap = logp.shape[2]
+    xb = logp[:, 0, :]                                           # (S, Tcap)
     t_idx = jnp.arange(t_cap)[None, :]
     in_new = (t_idx >= from_len[:, None]) & (t_idx < to_len[:, None])
     cxb = jnp.cumsum(jnp.where(t_idx < to_len[:, None], xb, 0.0), axis=1)
@@ -107,16 +109,16 @@ def _fill_blank(logp, r, from_len, to_len):
     r_base = jnp.where(
         (from_len > 0)[:, None],
         jnp.take_along_axis(
-            r[:, :, :, 1],
+            r[:, :, 1, :],
             jnp.maximum(from_len - 1, 0)[:, None, None],
             axis=2,
         )[:, :, 0],
         0.0,
     )  # (S, B)
     new_rb = r_base[:, :, None] + (cxb[:, None, :] - base_cxb[:, None, None])
-    r1 = jnp.where(in_new[:, None, :], new_rb, r[:, :, :, 1])
-    r0 = jnp.where(in_new[:, None, :], LOGZERO, r[:, :, :, 0])
-    return jnp.stack([r0, r1], axis=-1)
+    r1 = jnp.where(in_new[:, None, :], new_rb, r[:, :, 1, :])
+    r0 = jnp.where(in_new[:, None, :], LOGZERO, r[:, :, 0, :])
+    return jnp.stack([r0, r1], axis=2)
 
 
 @jax.jit
@@ -145,12 +147,6 @@ def reset_ctc_streams(state: CTCScorerState, reset: jnp.ndarray) -> CTCScorerSta
     )
 
 
-def _logaddexp(a, b):
-    mx = jnp.maximum(a, b)
-    mn = jnp.minimum(a, b)
-    return mx + jnp.log1p(jnp.exp(jnp.maximum(mn - mx, -60.0)))
-
-
 @functools.partial(jax.jit, static_argnames=("blank", "eos"))
 def ctc_score_candidates(
     state: CTCScorerState,
@@ -164,30 +160,25 @@ def ctc_score_candidates(
 
     Returns (scores (S,B,V): log_psi - s_prev with logzero at non-candidates,
     log_psi (S,B,V)) — semantics of reference __call__ :249-291.
+    All intermediates are (S, B, K, T): time on the minor (lane) axis.
     """
-    s_dim, beam, t_cap, vocab = (
-        state.logp.shape[0],
-        state.r.shape[1],
-        state.logp.shape[1],
-        state.logp.shape[2],
-    )
-    k = cand_ids.shape[-1]
+    s_dim, vocab, t_cap = state.logp.shape
+    beam = state.r.shape[1]
     t_idx = jnp.arange(t_cap)
 
-    r_sum = jax.nn.logsumexp(state.r, axis=-1)                  # (S, B, T)
+    r_sum = jax.nn.logsumexp(state.r, axis=2)                   # (S, B, T)
 
-    # phi[t, c] = r_sum[t], except c == last_id -> r_b[t] (reference :194-207)
+    # phi[c, t] = r_sum[t], except c == last_id -> r_b[t] (reference :194-207)
     is_last = cand_ids == last_ids[:, :, None]                  # (S, B, K)
     phi = jnp.where(
-        is_last[:, :, None, :],
-        state.r[:, :, :, 1][:, :, :, None],
-        r_sum[:, :, :, None],
-    )                                                            # (S, B, T, K)
+        is_last[:, :, :, None],
+        state.r[:, :, None, 1, :],
+        r_sum[:, :, None, :],
+    )                                                            # (S, B, K, T)
 
-    # x_n for candidates: direct gather, no materialized (S,B,T,V) repeat.
-    s_idx = jnp.arange(s_dim)[:, None, None, None]
-    xn_c = state.logp[s_idx, jnp.arange(t_cap)[None, None, :, None],
-                      cand_ids[:, :, None, :]]                   # (S, B, T, K)
+    # x_n rows for candidates: contiguous row gather from (S, V, T).
+    s_idx = jnp.arange(s_dim)[:, None, None]
+    xn_c = state.logp[s_idx, cand_ids, :]                        # (S, B, K, T)
 
     start = jnp.minimum(jnp.maximum(olen, 1), t_cap)             # (S,)
     end = state.enc_len                                          # (S,)
@@ -195,24 +186,21 @@ def ctc_score_candidates(
         t_idx[None, :] < end[:, None]
     )                                                            # (S, T)
 
-    # phi[t-1] + xn[t] summed over t in [start, end).
+    # phi[t-1] + xn[t] summed over t in [start, end), plus the init term
+    # r[start-1, 0] = xn_c[0] iff olen == 0 (reference :186-188,254-281).
     phi_shift = jnp.concatenate(
-        [jnp.full_like(phi[:, :, :1, :], LOGZERO), phi[:, :, :-1, :]], axis=2
+        [jnp.full_like(phi[..., :1], LOGZERO), phi[..., :-1]], axis=-1
     )
     terms = jnp.where(
-        in_range[:, None, :, None], phi_shift + xn_c, LOGZERO
+        in_range[:, None, None, :], phi_shift + xn_c, LOGZERO
     )
-    # ⊕ r_init: r[start-1, 0] = xn_c[0] iff olen == 0 (reference :186-188).
     init_term = jnp.where(
-        (olen == 0)[:, None, None], xn_c[:, :, 0, :], LOGZERO
+        (olen == 0)[:, None, None], xn_c[..., 0], LOGZERO
     )                                                            # (S, B, K)
-    log_psi_c = jax.nn.logsumexp(
-        jnp.concatenate([terms, init_term[:, :, None, :]], axis=2), axis=2
-    )                                                            # (S, B, K)
+    stacked = jnp.concatenate([terms, init_term[..., None]], axis=-1)
+    log_psi_c = jax.nn.logsumexp(stacked, axis=-1)               # (S, B, K)
 
     # Scatter candidates into the vocab axis (non-candidates stay logzero).
-    # NB: additive offset tricks with LOGZERO=-1e10 lose all precision in
-    # fp32 — scatter with an explicit mask instead.
     onehot = jax.nn.one_hot(cand_ids, vocab, dtype=log_psi_c.dtype)
     scattered = jnp.einsum("sbk,sbkv->sbv", log_psi_c, onehot)
     is_cand = jnp.sum(onehot, axis=2) > 0                        # (S, B, V)
@@ -245,11 +233,12 @@ def ctc_advance_state(
     Replicates the reference quirk: a chosen token outside the candidate set
     (possible for EOS) takes candidate slot 0's forward variables (:404-405).
     """
-    s_dim, beam, t_cap, _ = state.r.shape
+    s_dim, beam, _, t_cap = state.r.shape
 
     take = lambda a, i: jnp.take_along_axis(a, i, axis=1)
-    r_src = take(state.r, src_idx[:, :, None, None].repeat(t_cap, 2)
-                 .repeat(2, 3))                                  # (S,B,T,2)
+    r_src = take(
+        state.r, src_idx[:, :, None, None].repeat(2, 2).repeat(t_cap, 3)
+    )                                                            # (S,B,2,T)
     last_src = take(last_ids, src_idx)                           # (S, B)
     cand_src = take(cand_ids, src_idx[:, :, None].repeat(
         cand_ids.shape[-1], 2))                                  # (S, B, K)
@@ -263,16 +252,14 @@ def ctc_advance_state(
     in_cands = jnp.any(cand_src == chosen[:, :, None], axis=-1)  # (S, B)
     token_r = jnp.where(in_cands, chosen, cand_src[:, :, 0])     # (S, B)
 
-    r_sum = jax.nn.logsumexp(r_src, axis=-1)                     # (S, B, T)
+    r_sum = jax.nn.logsumexp(r_src, axis=2)                      # (S, B, T)
     phi = jnp.where(
-        (token_r == last_src)[:, :, None], r_src[:, :, :, 1], r_sum
+        (token_r == last_src)[:, :, None], r_src[:, :, 1, :], r_sum
     )                                                            # (S, B, T)
 
-    s_idx = jnp.arange(s_dim)[:, None, None]
-    xn = state.logp[s_idx, jnp.arange(t_cap)[None, None, :],
-                    token_r[:, :, None]]                         # (S, B, T)
-    xb = state.logp[:, None, :, 0]                               # (S, 1, T)
-    xb = jnp.broadcast_to(xb, xn.shape)
+    s_idx = jnp.arange(s_dim)[:, None]
+    xn = state.logp[s_idx, token_r, :]                           # (S, B, T)
+    xb = jnp.broadcast_to(state.logp[:, None, 0, :], xn.shape)   # (S, B, T)
 
     start = jnp.minimum(jnp.maximum(olen, 1), t_cap)             # (S,)
     end = state.enc_len
@@ -300,42 +287,43 @@ def ctc_advance_state(
     #   rn[t] = (rn[t-1] ⊕ phi[t-1]) + xn[t]
     #   rb[t] = (rn[t-1] ⊕ rb[t-1]) + xb[t]
     # Out-of-range steps are "reset" matrices that emit the init values.
+    # Matrix layout (S, B, 3, 3, T): time stays on the lane axis.
     nz = jnp.full_like(xn, LOGZERO)
     z = jnp.zeros_like(xn)
     rec_mat = jnp.stack(
         [
-            jnp.stack([xn, nz, xn + phi_shift], axis=-1),
-            jnp.stack([xb, xb, nz], axis=-1),
-            jnp.stack([nz, nz, z], axis=-1),
+            jnp.stack([xn, nz, xn + phi_shift], axis=2),
+            jnp.stack([xb, xb, nz], axis=2),
+            jnp.stack([nz, nz, z], axis=2),
         ],
-        axis=-2,
-    )                                                            # (S,B,T,3,3)
+        axis=2,
+    )                                                            # (S,B,3,3,T)
     reset_mat = jnp.stack(
         [
-            jnp.stack([nz, nz, init_rn], axis=-1),
-            jnp.stack([nz, nz, init_rb], axis=-1),
-            jnp.stack([nz, nz, z], axis=-1),
+            jnp.stack([nz, nz, init_rn], axis=2),
+            jnp.stack([nz, nz, init_rb], axis=2),
+            jnp.stack([nz, nz, z], axis=2),
         ],
-        axis=-2,
+        axis=2,
     )
-    mats = jnp.where(in_rec[..., None, None], rec_mat, reset_mat)
+    mats = jnp.where(in_rec[:, :, None, None, :], rec_mat, reset_mat)
 
     def log_matmul(a, b):
         # fn(acc_left, elem_right) = elem_right · acc_left in the (lse, +)
         # semiring: out[i, j] = lse_k(b[i, k] + a[k, j]). Later time steps
         # multiply on the left, keeping the fold associative.
         return jax.nn.logsumexp(
-            b[..., :, :, None] + a[..., None, :, :], axis=-2
+            b[..., :, :, None, :] + a[..., None, :, :, :], axis=-3
         )
 
-    prefix = jax.lax.associative_scan(log_matmul, mats, axis=2)
-    # Apply to v_init = [logzero, logzero, 0]: result = prefix[..., :, 2].
-    rn_traj = prefix[..., 0, 2]
-    rb_traj = prefix[..., 1, 2]
-    r_new = jnp.stack([rn_traj, rb_traj], axis=-1)               # (S,B,T,2)
+    prefix = jax.lax.associative_scan(log_matmul, mats, axis=4)
+    # Apply to v_init = [logzero, logzero, 0]: result = prefix[..., :, 2, t].
+    rn_traj = prefix[..., 0, 2, :]
+    rb_traj = prefix[..., 1, 2, :]
+    r_new = jnp.stack([rn_traj, rb_traj], axis=2)                # (S,B,2,T)
     # Keep anything at/after end untouched from the source hyp (those frames
     # hold extend-filled cumulative blanks for FUTURE frames — none yet).
-    valid = (t_idx[None, :] < end[:, None])[:, None, :, None]
+    valid = (t_idx[None, :] < end[:, None])[:, None, None, :]
     r_new = jnp.where(valid, r_new, r_src)
 
     return CTCScorerState(

@@ -145,12 +145,14 @@ class MemoryCache(NamedTuple):
 
 def init_decoder_cache(cfg: ModelConfig, n_hyps: int) -> DecoderCache:
     shape = (cfg.decoder_layers, n_hyps, cfg.max_tokens, cfg.decoder_dim)
-    return DecoderCache(k=jnp.zeros(shape), v=jnp.zeros(shape))
+    dt = cfg.cache_jnp_dtype
+    return DecoderCache(k=jnp.zeros(shape, dt), v=jnp.zeros(shape, dt))
 
 
 def init_memory_cache(cfg: ModelConfig, n_streams: int) -> MemoryCache:
     shape = (cfg.decoder_layers, n_streams, cfg.max_enc_frames, cfg.decoder_dim)
-    return MemoryCache(k=jnp.zeros(shape), v=jnp.zeros(shape))
+    dt = cfg.cache_jnp_dtype
+    return MemoryCache(k=jnp.zeros(shape, dt), v=jnp.zeros(shape, dt))
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -167,7 +169,8 @@ def extend_memory_cache(
     def body(carry, p_layer):
         k = linear(p_layer["src_attn"]["linear_k"], new_memory)
         v = linear(p_layer["src_attn"]["linear_v"], new_memory)
-        return carry, (k, v)
+        return carry, (k.astype(mem_cache.k.dtype),
+                       v.astype(mem_cache.v.dtype))
 
     _, (ks, vs) = jax.lax.scan(body, None, params["layers"])
     # ks: (L, S, Tnew, d). Scatter each stream's block at its enc_len offset.
@@ -196,7 +199,7 @@ def _attend_cached(
 ) -> jnp.ndarray:
     n, t, d = k.shape
     dk = d // n_head
-    qh = q.reshape(n, n_head, dk)
+    qh = q.reshape(n, n_head, dk).astype(k.dtype)
     kh = k.reshape(n, t, n_head, dk)
     vh = v.reshape(n, t, n_head, dk)
     scores = jnp.einsum("nhd,nthd->nht", qh, kh,
@@ -204,7 +207,7 @@ def _attend_cached(
     scores = jnp.where(valid[:, None, :], scores, MASK_MIN)
     attn = jax.nn.softmax(scores, axis=-1)
     attn = jnp.where(valid[:, None, :], attn, 0.0)
-    out = jnp.einsum("nht,nthd->nhd", attn, vh,
+    out = jnp.einsum("nht,nthd->nhd", attn.astype(v.dtype), vh,
                      preferred_element_type=jnp.float32)
     return out.reshape(n, d)
 
@@ -224,7 +227,7 @@ def _attend_cross_blocked(
     n = q.shape[0]
     b = n // s
     dk = d // n_head
-    qh = q.reshape(s, b, n_head, dk)
+    qh = q.reshape(s, b, n_head, dk).astype(mk.dtype)
     kh = mk.reshape(s, t, n_head, dk)
     vh = mv.reshape(s, t, n_head, dk)
     scores = jnp.einsum("sbhd,sthd->sbht", qh, kh,
@@ -232,7 +235,7 @@ def _attend_cross_blocked(
     scores = jnp.where(valid[:, None, None, :], scores, MASK_MIN)
     attn = jax.nn.softmax(scores, axis=-1)
     attn = jnp.where(valid[:, None, None, :], attn, 0.0)
-    out = jnp.einsum("sbht,sthd->sbhd", attn, vh,
+    out = jnp.einsum("sbht,sthd->sbhd", attn.astype(mv.dtype), vh,
                      preferred_element_type=jnp.float32)
     return out.reshape(n, d)
 
@@ -255,14 +258,13 @@ def decoder_step(
     """
     n = tokens.shape[0]
     d = cfg.decoder_dim
-    lmax = cfg.max_tokens
+    lmax = cache.k.shape[2]   # capacity comes from the (possibly sliced) cache
     tmax = mem_cache.k.shape[2]
 
     x = params["embed"]["weight"][tokens] * math.sqrt(d) + pe[pos]  # (N, d)
 
     self_valid = jnp.arange(lmax)[None, :] <= pos[:, None]          # (N, Lmax)
     mem_valid = jnp.arange(tmax)[None, :] < enc_len[:, None]        # (S, Tmax)
-    pos_onehot = jax.nn.one_hot(pos, lmax, dtype=x.dtype)           # (N, Lmax)
 
     def body(carry, layer_in):
         h = carry  # (N, d)
@@ -270,11 +272,13 @@ def decoder_step(
         # Self-attention with KV cache.
         residual = h
         hn = layer_norm(p_layer["norm1"], h)
+        # Scatter-update (row write) instead of a full-buffer masked blend:
+        # XLA performs this in place inside the decode while-loop.
+        rows = jnp.arange(n)
         k_new = linear(p_layer["self_attn"]["linear_k"], hn)
         v_new = linear(p_layer["self_attn"]["linear_v"], hn)
-        keep = (1.0 - pos_onehot)[:, :, None]
-        k_l = k_l * keep + pos_onehot[:, :, None] * k_new[:, None, :]
-        v_l = v_l * keep + pos_onehot[:, :, None] * v_new[:, None, :]
+        k_l = k_l.at[rows, pos].set(k_new.astype(k_l.dtype))
+        v_l = v_l.at[rows, pos].set(v_new.astype(v_l.dtype))
         q = linear(p_layer["self_attn"]["linear_q"], hn)
         att = _attend_cached(q, k_l, v_l, self_valid, cfg.decoder_heads)
         h = residual + linear(p_layer["self_attn"]["linear_out"], att)

@@ -454,6 +454,10 @@ class StreamingEngine:
         self.c = SlotCounters.zeros(self.S)
 
         self.trim = math.ceil(math.ceil(cfg.win_length / cfg.hop_length) / 2)
+        # Host upper bound on any stream's prefix length (refreshed from the
+        # per-tick bulk readback) — drives the l_bound bucket so the decode
+        # loop touches only the live region of the KV caches.
+        self.ylen_upper = 1
 
         # Single-stream finalizer (shares weights; used per final chunk).
         self._finalizer = BlockwiseSynchronousBeamSearch(
@@ -520,6 +524,7 @@ class StreamingEngine:
         # ONE bulk readback per tick (per-slot reads would pay the host
         # round-trip latency once per slot).
         ylen = np.asarray(self.arrays.ylen)
+        self.ylen_upper = max(int(ylen.max()), 1)
         best = np.asarray(self.arrays.yseq[:, 0, :])
         out: Dict[int, List[int]] = {}
         drop = {self.cfg.blank_id, self.cfg.eos_id}
@@ -690,10 +695,19 @@ class StreamingEngine:
         )
         c.vis_len = np.where(mask, new_vis, c.vis_len)
 
+    @staticmethod
+    def _bucket(n: int, cap: int, floor: int = 64) -> int:
+        b = floor
+        while b < n:
+            b *= 2
+        return min(b, cap)
+
     def _beam_loop(self, ready: np.ndarray, block_final: np.ndarray):
         """Per-block beam loop: one device program for the whole batch
         (EOS stop, BBD rollback, rewind — decode_block_device)."""
         c = self.c
+        l_bound = self._bucket(self.ylen_upper + 64, self.cfg.max_tokens)
+        t_bound = self._bucket(int(c.vis_len.max()) + 1, self.ECAP, floor=128)
         dev_state = BlockDecodeState(
             arrays=self.arrays,
             prev_arrays=self.prev_arrays,
@@ -715,6 +729,8 @@ class StreamingEngine:
             self.ctc_weight,
             self.use_bbd,
             self.max_length,
+            l_bound=l_bound,
+            t_bound=t_bound,
         )
         self.arrays = out.arrays
         self.prev_arrays = out.prev_arrays

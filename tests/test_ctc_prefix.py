@@ -129,11 +129,11 @@ def test_scores_and_states_match_reference_over_steps():
             jnp.array([olen], jnp.int32),
         )
 
-        # Compare survivor forward variables r.
+        # Compare survivor forward variables r (ours: (S, B, 2, T)).
         ref_r = merged[0].numpy()  # (T, 2, BEAM)
-        our_r = np.asarray(state.r)[0, :, :t1, :]  # (BEAM, T, 2)
+        our_r = np.asarray(state.r)[0, :, :, :t1]  # (BEAM, 2, T)
         np.testing.assert_allclose(
-            our_r.transpose(1, 2, 0), ref_r, rtol=1e-4, atol=1e-3,
+            our_r.transpose(2, 1, 0), ref_r, rtol=1e-4, atol=1e-3,
             err_msg=f"step {step} (r)",
         )
         ref_s = merged[1].numpy()[:, 0]
@@ -162,13 +162,13 @@ def test_streaming_extend_matches_fresh():
     st_once = ctc_extend(st_once, jnp.asarray(full), jnp.array([True]))
 
     np.testing.assert_allclose(
-        np.asarray(st_inc.logp)[:, : l1 + l2],
-        np.asarray(st_once.logp)[:, : l1 + l2],
+        np.asarray(st_inc.logp)[:, :, : l1 + l2],
+        np.asarray(st_once.logp)[:, :, : l1 + l2],
         rtol=1e-6, atol=1e-6,
     )
     np.testing.assert_allclose(
-        np.asarray(st_inc.r)[:, :, : l1 + l2],
-        np.asarray(st_once.r)[:, :, : l1 + l2],
+        np.asarray(st_inc.r)[:, :, :, : l1 + l2],
+        np.asarray(st_once.r)[:, :, :, : l1 + l2],
         rtol=1e-5, atol=1e-5,
     )
     assert int(st_inc.enc_len[0]) == l1 + l2
