@@ -26,9 +26,12 @@ import numpy as np
 CHUNK = 8192
 RATE = 16000
 CHUNK_SEC = CHUNK / RATE
-WARMUP_TICKS = 3
-TIMED_TICKS = 8
-TIME_BUDGET_S = 480.0
+# Warmup must cover the first beam-decode tick (~tick 4: the encoder needs
+# a few chunks of lookahead before blocks become decodable) plus any
+# compile-cache loads triggered by live-length bucket changes.
+WARMUP_TICKS = 6
+TIMED_TICKS = 6
+TIME_BUDGET_S = 540.0
 
 
 def synth_audio(n_ticks: int, seed: int) -> np.ndarray:
@@ -68,6 +71,10 @@ def measure(model, n_streams: int, beam: int) -> float:
 
 def main():
     import jax
+
+    from speechcatcher_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
 
     from speechcatcher_tpu.models.asr_model import ASRModel
     from __graft_entry__ import _flagship_config

@@ -268,6 +268,9 @@ async def start_server(host: str, port: int, manager: SessionManager,
 
 def main():
     from speechcatcher_tpu.recognize import load_model, tags
+    from speechcatcher_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
 
     parser = argparse.ArgumentParser(
         description="speechcatcher_tpu websocket server (Vosk-compatible)"
