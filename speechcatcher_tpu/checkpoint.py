@@ -143,17 +143,73 @@ def convert_state_dict(
     embed_out = _get(sd, "encoder.embed.out.weight", "encoder.embed.out.0.weight")
     embed_out_b = _get(sd, "encoder.embed.out.bias", "encoder.embed.out.0.bias")
 
+    is_conformer = any(
+        k.startswith("encoder.encoders.0.norm_mha") for k in sd
+    ) or cfg.encoder_type == "conformer"
+
     enc_layers = []
     for i in range(cfg.encoder_layers):
         p = f"encoder.encoders.{i}"
-        enc_layers.append(
-            {
-                "self_attn": _mha(sd, f"{p}.self_attn"),
-                "feed_forward": _ffn(sd, f"{p}.feed_forward"),
-                "norm1": _norm(sd, f"{p}.norm1"),
-                "norm2": _norm(sd, f"{p}.norm2"),
-            }
-        )
+        if is_conformer:
+            attn = _mha(sd, f"{p}.self_attn")
+            attn["linear_pos"] = _linear(sd, f"{p}.self_attn.linear_pos")
+            attn["pos_bias_u"] = np.asarray(
+                _get(sd, f"{p}.self_attn.pos_bias_u"), dtype=np.float32
+            )
+            attn["pos_bias_v"] = np.asarray(
+                _get(sd, f"{p}.self_attn.pos_bias_v"), dtype=np.float32
+            )
+            cm = f"{p}.conv_module"
+            bn_prefix = (
+                f"{cm}.norm" if f"{cm}.norm.weight" in sd
+                else f"{cm}.batch_norm"
+            )
+            enc_layers.append(
+                {
+                    "self_attn": attn,
+                    "feed_forward": _ffn(sd, f"{p}.feed_forward"),
+                    "feed_forward_macaron": _ffn(
+                        sd, f"{p}.feed_forward_macaron"
+                    ),
+                    "conv_module": {
+                        "pointwise_conv1": _linear(sd, f"{cm}.pointwise_conv1"),
+                        "depthwise_conv": _linear(sd, f"{cm}.depthwise_conv"),
+                        "pointwise_conv2": _linear(sd, f"{cm}.pointwise_conv2"),
+                        "batch_norm": {
+                            "weight": np.asarray(
+                                _get(sd, f"{bn_prefix}.weight"),
+                                dtype=np.float32,
+                            ),
+                            "bias": np.asarray(
+                                _get(sd, f"{bn_prefix}.bias"),
+                                dtype=np.float32,
+                            ),
+                            "running_mean": np.asarray(
+                                _get(sd, f"{bn_prefix}.running_mean"),
+                                dtype=np.float32,
+                            ),
+                            "running_var": np.asarray(
+                                _get(sd, f"{bn_prefix}.running_var"),
+                                dtype=np.float32,
+                            ),
+                        },
+                    },
+                    "norm_ff": _norm(sd, f"{p}.norm_ff"),
+                    "norm_ff_macaron": _norm(sd, f"{p}.norm_ff_macaron"),
+                    "norm_mha": _norm(sd, f"{p}.norm_mha"),
+                    "norm_conv": _norm(sd, f"{p}.norm_conv"),
+                    "norm_final": _norm(sd, f"{p}.norm_final"),
+                }
+            )
+        else:
+            enc_layers.append(
+                {
+                    "self_attn": _mha(sd, f"{p}.self_attn"),
+                    "feed_forward": _ffn(sd, f"{p}.feed_forward"),
+                    "norm1": _norm(sd, f"{p}.norm1"),
+                    "norm2": _norm(sd, f"{p}.norm2"),
+                }
+            )
 
     encoder = {
         "embed": {
@@ -220,6 +276,9 @@ def load_espnet_checkpoint(
             updates[field] = arch[field]
     if "encoder_dim" in updates:
         updates.setdefault("decoder_dim", updates["encoder_dim"])
+    if any(k.startswith("encoder.encoders.0.norm_mha") for k in sd):
+        if cfg.encoder_type != "conformer":
+            updates["encoder_type"] = "conformer"
     if updates:
         logger.info("Checkpoint shape inference overrides config: %s", updates)
         cfg = cfg.replace(**updates)

@@ -86,14 +86,39 @@ def init_encoder_params(key: jax.Array, cfg: ModelConfig) -> Params:
     feat = conv_output_feat_dim(cfg.n_mels, cfg.input_layer)
     embed["out"] = init_linear(keys[1], d * feat, d)
 
-    def one_layer(k):
-        k1, k2 = jax.random.split(k)
-        return {
-            "self_attn": init_mha(k1, d),
-            "feed_forward": init_ffn(k2, d, cfg.encoder_linear_units),
-            "norm1": init_layer_norm(d),
-            "norm2": init_layer_norm(d),
-        }
+    if cfg.encoder_type == "conformer":
+        from speechcatcher_tpu.ops.conformer import (
+            init_conv_module,
+            init_rel_mha,
+        )
+
+        def one_layer(k):
+            k1, k2, k3, k4 = jax.random.split(k, 4)
+            return {
+                "self_attn": init_rel_mha(k1, d, cfg.encoder_heads),
+                "feed_forward": init_ffn(k2, d, cfg.encoder_linear_units),
+                "feed_forward_macaron": init_ffn(
+                    k3, d, cfg.encoder_linear_units
+                ),
+                "conv_module": init_conv_module(
+                    k4, d, cfg.conformer_kernel_size
+                ),
+                "norm_ff": init_layer_norm(d),
+                "norm_ff_macaron": init_layer_norm(d),
+                "norm_mha": init_layer_norm(d),
+                "norm_conv": init_layer_norm(d),
+                "norm_final": init_layer_norm(d),
+            }
+    else:
+
+        def one_layer(k):
+            k1, k2 = jax.random.split(k)
+            return {
+                "self_attn": init_mha(k1, d),
+                "feed_forward": init_ffn(k2, d, cfg.encoder_linear_units),
+                "norm1": init_layer_norm(d),
+                "norm2": init_layer_norm(d),
+            }
 
     lkeys = jax.random.split(keys[2], cfg.encoder_layers)
     layers = [one_layer(k) for k in lkeys]
@@ -148,7 +173,8 @@ def subsampled_len(n_in: int, input_layer: str) -> int:
 # ---------------------------------------------------------------------------
 
 def _attn_ffn(p_layer: Params, h: jnp.ndarray, mask: Optional[jnp.ndarray],
-              n_head: int) -> jnp.ndarray:
+              n_head: int,
+              pos_emb: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Pre-norm self-attention + FFN block (contextual_block_encoder_layer.py:215-243)."""
     residual = h
     hn = layer_norm(p_layer["norm1"], h)
@@ -160,6 +186,38 @@ def _attn_ffn(p_layer: Params, h: jnp.ndarray, mask: Optional[jnp.ndarray],
     return residual + feed_forward(p_layer["feed_forward"], hn)
 
 
+def _conformer_block(p_layer: Params, h: jnp.ndarray,
+                     mask: Optional[jnp.ndarray], n_head: int,
+                     pos_emb: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Macaron conformer layer: ½FFN → rel-pos MHSA → conv module → ½FFN →
+    final LN (ESPnet conformer layer composition; conv/attention modules per
+    the reference convolution.py and multi_head_attention.py:261-378)."""
+    from speechcatcher_tpu.ops.conformer import (
+        conv_module,
+        rel_position_attention,
+    )
+
+    residual = h
+    hn = layer_norm(p_layer["norm_ff_macaron"], h)
+    h = residual + 0.5 * feed_forward(p_layer["feed_forward_macaron"], hn)
+
+    residual = h
+    hn = layer_norm(p_layer["norm_mha"], h)
+    h = residual + rel_position_attention(
+        p_layer["self_attn"], hn, hn, hn, pos_emb, mask, n_head
+    )
+
+    residual = h
+    hn = layer_norm(p_layer["norm_conv"], h)
+    h = residual + conv_module(p_layer["conv_module"], hn)
+
+    residual = h
+    hn = layer_norm(p_layer["norm_ff"], h)
+    h = residual + 0.5 * feed_forward(p_layer["feed_forward"], hn)
+
+    return layer_norm(p_layer["norm_final"], h)
+
+
 def apply_layers_infer(
     params: Params,
     xs_chunk: jnp.ndarray,       # (B, bn, bs+2, d)
@@ -168,6 +226,8 @@ def apply_layers_infer(
     has_past_ctx: jnp.ndarray,   # (B,) bool
     n_head: int,
     last_block: Optional[jnp.ndarray] = None,  # (B,) idx of last VALID block
+    layer_kind: str = "transformer",
+    pos_emb: Optional[jnp.ndarray] = None,     # (1, bs+2, d) for conformer
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Streaming layer stack with context propagation.
 
@@ -181,11 +241,12 @@ def apply_layers_infer(
     bmask = jnp.broadcast_to(mask[None, :, :], (b * bn, w, w))
     if last_block is None:
         last_block = jnp.full((b,), bn - 1, jnp.int32)
+    layer_fn = _conformer_block if layer_kind == "conformer" else _attn_ffn
 
     def body(x, layer_in):
         p_layer, past_l = layer_in  # past_l: (B, d)
         h = x.reshape(b * bn, w, d)
-        h = _attn_ffn(p_layer, h, bmask, n_head)
+        h = layer_fn(p_layer, h, bmask, n_head, pos_emb=pos_emb)
         x = h.reshape(b, bn, w, d)
         # Context propagation: block 0 pos 0 ← past ctx (or own last frame on
         # the first chunk); block i pos 0 ← block i-1 last frame.
@@ -209,6 +270,8 @@ def apply_layers_train(
     xs_chunk: jnp.ndarray,  # (B, bn, bs+2, d)
     mask: jnp.ndarray,      # (bs+2, bs+2)
     n_head: int,
+    layer_kind: str = "transformer",
+    pos_emb: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Training-mode layer stack (contextual_block_encoder_layer.py:92-176).
 
@@ -218,12 +281,13 @@ def apply_layers_train(
     """
     b, bn, w, d = xs_chunk.shape
     bmask = jnp.broadcast_to(mask[None, :, :], (b * bn, w, w))
+    layer_fn = _conformer_block if layer_kind == "conformer" else _attn_ffn
 
     def body(carry, p_layer):
         x, ctx, has_ctx = carry
         x = jnp.where(has_ctx, x.at[:, :, 0, :].set(ctx), x)
         h = x.reshape(b * bn, w, d)
-        h = _attn_ffn(p_layer, h, bmask, n_head)
+        h = layer_fn(p_layer, h, bmask, n_head, pos_emb=pos_emb)
         x = h.reshape(b, bn, w, d)
         # next_ctx shift: block 0 ← own last frame; block i ← block i-1.
         ctx = jnp.concatenate([x[:, 0:1, -1, :], x[:, :-1, -1, :]], axis=1)
@@ -237,13 +301,15 @@ def apply_layers_train(
 
 
 def apply_layers_plain(
-    params: Params, x: jnp.ndarray, mask: Optional[jnp.ndarray], n_head: int
+    params: Params, x: jnp.ndarray, mask: Optional[jnp.ndarray], n_head: int,
+    layer_kind: str = "transformer", pos_emb: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Layer stack without blocking/context (short-utterance path,
     reference encoder :530-536)."""
+    layer_fn = _conformer_block if layer_kind == "conformer" else _attn_ffn
 
     def body(h, p_layer):
-        return _attn_ffn(p_layer, h, mask, n_head), None
+        return layer_fn(p_layer, h, mask, n_head, pos_emb=pos_emb), None
 
     ys, _ = jax.lax.scan(body, x, params["layers"])
     return ys
@@ -362,8 +428,10 @@ def _infer_core(
         xs, pe, prev_addin, has_prev, npb, total_frame_num, block_num, cfg
     )
     mask = jnp.asarray(block_attention_mask(cfg.block_size))
+    pos_emb = pe[None, : cfg.block_size + 2, :]
     ys_chunk, next_ctx = apply_layers_infer(
-        params, xs_chunk, mask, past_ctx, has_past_ctx, cfg.encoder_heads
+        params, xs_chunk, mask, past_ctx, has_past_ctx, cfg.encoder_heads,
+        layer_kind=cfg.encoder_type, pos_emb=pos_emb,
     )
     ys_chunk = ys_chunk[:, :, 1 : cfg.block_size + 1, :]
     ys = _extract_infer(ys_chunk, cfg, first_chunk, is_final, y_length)
@@ -378,7 +446,10 @@ def _infer_short(params: Params, pe: jnp.ndarray, xs: jnp.ndarray,
     """Short-segment path: whole segment, no blocking, no mask
     (reference encoder :345-351)."""
     x = add_positional_encoding(xs, pe, jnp.int32(0))
-    x = apply_layers_plain(params, x, None, cfg.encoder_heads)
+    x = apply_layers_plain(
+        params, x, None, cfg.encoder_heads, layer_kind=cfg.encoder_type,
+        pos_emb=pe[None, : xs.shape[1], :],
+    )
     if cfg.normalize_before:
         x = layer_norm(params["after_norm"], x)
     return x
@@ -570,7 +641,10 @@ def encoder_forward_train(
         pad_mask = (
             jnp.arange(total)[None, :] < olens[:, None]
         ).astype(jnp.float32)[:, None, :]
-        x = apply_layers_plain(params, x, pad_mask, cfg.encoder_heads)
+        x = apply_layers_plain(
+            params, x, pad_mask, cfg.encoder_heads,
+            layer_kind=cfg.encoder_type, pos_emb=pe[None, :total, :],
+        )
         if cfg.normalize_before:
             x = layer_norm(params["after_norm"], x)
         return x, olens
@@ -609,7 +683,10 @@ def encoder_forward_train(
     )
 
     mask = jnp.asarray(block_attention_mask(bs))
-    ys_chunk = apply_layers_train(params, xs_chunk, mask, cfg.encoder_heads)
+    ys_chunk = apply_layers_train(
+        params, xs_chunk, mask, cfg.encoder_heads,
+        layer_kind=cfg.encoder_type, pos_emb=pe[None, : bs + 2, :],
+    )
     ys_chunk = ys_chunk[:, :, 1:, :]  # drop prev-ctx slot (train offset +1)
 
     # Extraction (reference encoder :476-498), on post-slice frame indexing.

@@ -289,6 +289,7 @@ def _tick_blocks(
     ys_chunk, next_ctx_all = apply_layers_infer(
         params["encoder"], xs_chunk, mask, past_ctx, has_past,
         cfg.encoder_heads, last_block=last_idx.astype(jnp.int32),
+        layer_kind=cfg.encoder_type, pos_emb=pe[None, : bs + 2, :],
     )
     ys_chunk = ys_chunk[:, :, 1 : bs + 1, :]                    # (S,maxb,bs,d)
 
