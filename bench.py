@@ -90,7 +90,7 @@ def main():
         cfg = tiny_config()
         ladder = [2]
     else:
-        ladder = [96, 112, 128, 160]
+        ladder = [96, 128, 144]
 
     model = ASRModel.random_init(cfg, seed=0)
     beam = 5 if on_accelerator else 2

@@ -35,6 +35,13 @@ import jax.numpy as jnp
 LOGZERO = -1.0e10
 
 
+def _use_pallas_recursion() -> bool:
+    """Pallas kernels run on TPU; other backends use the XLA path."""
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
 class CTCScorerState(NamedTuple):
     """Device-resident scorer state for a batch of streams."""
 
@@ -283,44 +290,73 @@ def ctc_advance_state(
         [jnp.full_like(phi[:, :, :1], LOGZERO), phi[:, :, :-1]], axis=2
     )
 
-    # Log-semiring affine recursion as 3x3 matrices over state [rn, rb, 1]:
-    #   rn[t] = (rn[t-1] ⊕ phi[t-1]) + xn[t]
-    #   rb[t] = (rn[t-1] ⊕ rb[t-1]) + xb[t]
-    # Out-of-range steps are "reset" matrices that emit the init values.
-    # Matrix layout (S, B, 3, 3, T): time stays on the lane axis.
-    nz = jnp.full_like(xn, LOGZERO)
-    z = jnp.zeros_like(xn)
-    rec_mat = jnp.stack(
-        [
-            jnp.stack([xn, nz, xn + phi_shift], axis=2),
-            jnp.stack([xb, xb, nz], axis=2),
-            jnp.stack([nz, nz, z], axis=2),
-        ],
-        axis=2,
-    )                                                            # (S,B,3,3,T)
-    reset_mat = jnp.stack(
-        [
-            jnp.stack([nz, nz, init_rn], axis=2),
-            jnp.stack([nz, nz, init_rb], axis=2),
-            jnp.stack([nz, nz, z], axis=2),
-        ],
-        axis=2,
-    )
-    mats = jnp.where(in_rec[:, :, None, None, :], rec_mat, reset_mat)
-
-    def log_matmul(a, b):
-        # fn(acc_left, elem_right) = elem_right · acc_left in the (lse, +)
-        # semiring: out[i, j] = lse_k(b[i, k] + a[k, j]). Later time steps
-        # multiply on the left, keeping the fold associative.
-        return jax.nn.logsumexp(
-            b[..., :, :, None, :] + a[..., None, :, :, :], axis=-3
+    if _use_pallas_recursion():
+        # Exact sequential recursion in VMEM (Pallas kernel) — hypotheses on
+        # lanes, zero HBM traffic per step.
+        from speechcatcher_tpu.ops.pallas.ctc_recursion import (
+            LANES,
+            ctc_forward_recursion,
         )
 
-    prefix = jax.lax.associative_scan(log_matmul, mats, axis=4)
-    # Apply to v_init = [logzero, logzero, 0]: result = prefix[..., :, 2, t].
-    rn_traj = prefix[..., 0, 2, :]
-    rb_traj = prefix[..., 1, 2, :]
-    r_new = jnp.stack([rn_traj, rb_traj], axis=2)                # (S,B,2,T)
+        n = s_dim * beam
+        n_pad = -(-n // LANES) * LANES
+
+        def to_tn(a):  # (S, B, T) -> (T, N_pad)
+            flat = a.reshape(n, t_cap).T
+            return jnp.pad(flat, ((0, 0), (0, n_pad - n)))
+
+        def expand(a):  # (S,) -> (N_pad,)
+            return jnp.pad(jnp.repeat(a, beam), (0, n_pad - n))
+
+        r_tn = ctc_forward_recursion(
+            to_tn(xn),
+            to_tn(xb),
+            to_tn(phi_shift),
+            expand(start),
+            expand(end),
+            expand((olen == 0).astype(jnp.float32)),
+        )                                                        # (2, T, N)
+        r_new = r_tn[:, :, :n].transpose(2, 0, 1).reshape(
+            s_dim, beam, 2, t_cap
+        )
+    else:
+        # XLA fallback: log-semiring affine recursion as 3x3 matrices over
+        # state [rn, rb, 1] via associative scan (O(log T) depth):
+        #   rn[t] = (rn[t-1] ⊕ phi[t-1]) + xn[t]
+        #   rb[t] = (rn[t-1] ⊕ rb[t-1]) + xb[t]
+        # Out-of-range steps are "reset" matrices emitting the init values.
+        nz = jnp.full_like(xn, LOGZERO)
+        z = jnp.zeros_like(xn)
+        rec_mat = jnp.stack(
+            [
+                jnp.stack([xn, nz, xn + phi_shift], axis=2),
+                jnp.stack([xb, xb, nz], axis=2),
+                jnp.stack([nz, nz, z], axis=2),
+            ],
+            axis=2,
+        )                                                        # (S,B,3,3,T)
+        reset_mat = jnp.stack(
+            [
+                jnp.stack([nz, nz, init_rn], axis=2),
+                jnp.stack([nz, nz, init_rb], axis=2),
+                jnp.stack([nz, nz, z], axis=2),
+            ],
+            axis=2,
+        )
+        mats = jnp.where(in_rec[:, :, None, None, :], rec_mat, reset_mat)
+
+        def log_matmul(a, b):
+            # fn(acc_left, elem_right) = elem_right · acc_left in the
+            # (lse, +) semiring: out[i, j] = lse_k(b[i, k] + a[k, j]).
+            return jax.nn.logsumexp(
+                b[..., :, :, None, :] + a[..., None, :, :, :], axis=-3
+            )
+
+        prefix = jax.lax.associative_scan(log_matmul, mats, axis=4)
+        # Apply to v_init = [logzero, logzero, 0]: r = prefix[..., :, 2, t].
+        rn_traj = prefix[..., 0, 2, :]
+        rb_traj = prefix[..., 1, 2, :]
+        r_new = jnp.stack([rn_traj, rb_traj], axis=2)            # (S,B,2,T)
     # Keep anything at/after end untouched from the source hyp (those frames
     # hold extend-filled cumulative blanks for FUTURE frames — none yet).
     valid = (t_idx[None, :] < end[:, None])[:, None, None, :]

@@ -224,14 +224,16 @@ def _tick_subsample(
     return sub, new_raw
 
 
+@jax.jit
+def _append_post(post, sub, post_len, n_sub):
+    return _scatter_append(post, sub, post_len, n_sub)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "maxb"))
 def _tick_blocks(
     params,
     pe: jnp.ndarray,
-    post: jnp.ndarray,        # (S, PCAP, d)
-    sub: jnp.ndarray,         # (S, SUBCAP, d) new subsampled frames
-    post_len: jnp.ndarray,    # (S,)
-    n_sub: jnp.ndarray,       # (S,)
+    post: jnp.ndarray,        # (S, PCAP, d) — new frames already appended
     bn: jnp.ndarray,          # (S,) blocks to process this tick
     npb: jnp.ndarray,         # (S,)
     has_prev: jnp.ndarray,    # (S,) bool
@@ -252,8 +254,6 @@ def _tick_blocks(
     d = cfg.encoder_dim
     bs, hop, la = cfg.block_size, cfg.hop_size, cfg.look_ahead
     offset = bs - la - hop
-
-    post = _scatter_append(post, sub, post_len, n_sub)
 
     # Assemble blocks i = 0..maxb-1 from static offsets i*hop (full blocks).
     chunks = []
@@ -341,12 +341,15 @@ def _gather_new_frames(
     cfg: ModelConfig,
     extcap: int,
 ) -> jnp.ndarray:
-    """enc_out[vis : vis+extcap] per stream (garbage past the valid range)."""
+    """enc_out[vis : vis+extcap] per stream (garbage past the valid range).
+
+    vmapped dynamic_slice = per-stream contiguous row DMA (a take_along_axis
+    here lowers to a 2.6M-element gather and costs ~70ms at S=128)."""
     ecap = enc_out.shape[1]
-    idx = jnp.clip(vis_len[:, None] + jnp.arange(extcap)[None, :], 0, ecap - 1)
-    return jnp.take_along_axis(
-        enc_out, idx[:, :, None].repeat(enc_out.shape[2], 2), axis=1
-    )
+    start = jnp.clip(vis_len, 0, ecap - extcap)
+    return jax.vmap(
+        lambda buf, off: jax.lax.dynamic_slice_in_dim(buf, off, extcap, 0)
+    )(enc_out, start)
 
 
 # ---------------------------------------------------------------------------
@@ -427,12 +430,13 @@ class StreamingEngine:
 
         self.RCAP = self.FCAP + 3 * sub + 4
         self.SUBCAP = subsampled_len(self.RCAP, cfg.input_layer)
-        self.PCAP = max(
-            2 * (cfg.block_size + cfg.hop_size),
-            cfg.block_size + self.SUBCAP + cfg.hop_size,
-        )
+        # Blocks per tick: carry < block_size plus ≤ SUBCAP new frames.
         self.MAXB = max(
-            1, (self.PCAP - (cfg.block_size - cfg.hop_size)) // cfg.hop_size
+            1, -(-self.SUBCAP // cfg.hop_size) + 1
+        )
+        self.PCAP = max(
+            (self.MAXB - 1) * cfg.hop_size + cfg.block_size + cfg.hop_size,
+            cfg.block_size + self.SUBCAP,
         )
         self.ECAP = cfg.max_enc_frames
         self.EXTCAP = cfg.block_size  # max frames made visible per round
@@ -608,7 +612,15 @@ class StreamingEngine:
         self.buffers = self.buffers._replace(raw=new_raw)
         c.raw_len = n_res_raw
 
-        # Blocks.
+        # Append new frames, then run only as many block slots as any stream
+        # actually has ready this tick (static maxb variant — typically 1).
+        new_post = _append_post(
+            self.buffers.post,
+            sub_frames[:, : self.SUBCAP, :],
+            jnp.asarray(c.post_len.astype(np.int32)),
+            jnp.asarray(n_sub_out.astype(np.int32)),
+        )
+        self.buffers = self.buffers._replace(post=new_post)
         post_total = c.post_len + n_sub_out
         overlap = cfg.block_size - cfg.hop_size
         bn = np.where(
@@ -617,14 +629,15 @@ class StreamingEngine:
             0,
         )
         bn = np.minimum(bn, self.MAXB)
+        maxb_tick = int(bn.max())
+        if maxb_tick == 0:
+            c.post_len = post_total
+            return
 
         new_post, new_prev, new_past, new_enc = _tick_blocks(
             self.model.params,
             self.model.enc_pe,
             self.buffers.post,
-            sub_frames[:, : self.SUBCAP, :],
-            jnp.asarray(c.post_len.astype(np.int32)),
-            jnp.asarray(n_sub_out.astype(np.int32)),
             jnp.asarray(bn.astype(np.int32)),
             jnp.asarray(c.npb.astype(np.int32)),
             jnp.asarray(c.has_prev),
@@ -634,7 +647,7 @@ class StreamingEngine:
             self.buffers.enc_out,
             jnp.asarray(c.buf_len.astype(np.int32)),
             cfg,
-            self.MAXB,
+            maxb_tick,
         )
         self.buffers = self.buffers._replace(
             post=new_post, prev_addin=new_prev, past_ctx=new_past,

@@ -1,0 +1,79 @@
+"""Pallas kernel correctness (interpret mode on CPU): the in-VMEM CTC
+forward recursion must match a straightforward numpy recursion."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from speechcatcher_tpu.decode.ctc_prefix import LOGZERO
+from speechcatcher_tpu.ops.pallas.ctc_recursion import (
+    LANES,
+    ctc_forward_recursion,
+)
+
+
+def _numpy_recursion(xn, xb, phi_shift, start, end, olen0):
+    t_cap, n = xn.shape
+    r = np.full((2, t_cap, n), LOGZERO, np.float64)
+
+    def lse2(a, b):
+        mx = np.maximum(a, b)
+        mn = np.minimum(a, b)
+        return mx + np.log1p(np.exp(np.maximum(mn - mx, -30.0)))
+
+    rn = np.full(n, LOGZERO)
+    rb = np.full(n, LOGZERO)
+    for t in range(t_cap):
+        in_rec = (t >= start) & (t < end)
+        rn_rec = lse2(rn, phi_shift[t]) + xn[t]
+        rb_rec = lse2(rn, rb) + xb[t]
+        init_rn = np.where((t == 0) & (olen0 > 0.5), xn[0], LOGZERO)
+        rn = np.where(in_rec, rn_rec, init_rn)
+        rb = np.where(in_rec, rb_rec, LOGZERO)
+        r[0, t] = rn
+        r[1, t] = rb
+    return r
+
+
+def test_ctc_recursion_kernel_matches_numpy():
+    rng = np.random.RandomState(0)
+    t_cap, n = 32, LANES
+    xn = np.log(rng.rand(t_cap, n).astype(np.float32) + 1e-3)
+    xb = np.log(rng.rand(t_cap, n).astype(np.float32) + 1e-3)
+    phi = np.log(rng.rand(t_cap, n).astype(np.float32) + 1e-3) * 3
+    phi[0] = LOGZERO
+    start = rng.randint(1, 5, size=n).astype(np.int32)
+    end = rng.randint(8, t_cap, size=n).astype(np.int32)
+    olen0 = (start == 1).astype(np.float32)
+
+    ref = _numpy_recursion(xn, xb, phi, start, end, olen0)
+    out = np.asarray(
+        ctc_forward_recursion(
+            jnp.asarray(xn), jnp.asarray(xb), jnp.asarray(phi),
+            jnp.asarray(start), jnp.asarray(end), jnp.asarray(olen0),
+            interpret=True,
+        )
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-4)
+
+
+def test_ctc_recursion_kernel_multi_tile():
+    rng = np.random.RandomState(1)
+    t_cap, n = 16, 2 * LANES
+    xn = np.log(rng.rand(t_cap, n).astype(np.float32) + 1e-3)
+    xb = np.log(rng.rand(t_cap, n).astype(np.float32) + 1e-3)
+    phi = np.full((t_cap, n), LOGZERO, np.float32)
+    phi[1:] = np.log(rng.rand(t_cap - 1, n).astype(np.float32) + 1e-3)
+    start = np.ones(n, np.int32)
+    end = np.full(n, t_cap, np.int32)
+    olen0 = np.ones(n, np.float32)
+
+    ref = _numpy_recursion(xn, xb, phi, start, end, olen0)
+    out = np.asarray(
+        ctc_forward_recursion(
+            jnp.asarray(xn), jnp.asarray(xb), jnp.asarray(phi),
+            jnp.asarray(start), jnp.asarray(end), jnp.asarray(olen0),
+            interpret=True,
+        )
+    )
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-4)
