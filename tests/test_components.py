@@ -1,0 +1,122 @@
+"""Smaller components: batch greedy decode, host prefix beam search,
+checkpoint save/restore, serving metrics, kaldi wav.scp parsing, CLI wiring."""
+
+import numpy as np
+import pytest
+
+from speechcatcher_tpu.config import tiny_config
+from speechcatcher_tpu.models.asr_model import ASRModel
+
+
+def test_greedy_decode_batch():
+    from speechcatcher_tpu.decode.greedy import greedy_decode_batch
+
+    model = ASRModel.random_init(tiny_config(), seed=0)
+    rng = np.random.RandomState(0)
+    waves = [rng.randn(16000).astype(np.float32) * 0.1,
+             rng.randn(24000).astype(np.float32) * 0.1]
+    out = greedy_decode_batch(model, waves)
+    assert len(out) == 2
+    for text, ids in out:
+        assert isinstance(text, str)
+        assert all(i != 0 for i in ids)  # no blanks survive collapse
+
+
+def test_host_prefix_beam_search_agrees_with_greedy_on_peaky():
+    from speechcatcher_tpu.decode.greedy import ctc_prefix_beam_search_host
+
+    # Peaky distribution: beam search must recover the argmax path collapse.
+    t_len, vocab = 12, 8
+    rng = np.random.RandomState(1)
+    path = [0, 3, 3, 0, 5, 0, 2, 2, 2, 0, 7, 0]
+    logp = np.full((t_len, vocab), np.log(0.01 / (vocab - 1)), np.float32)
+    for t, c in enumerate(path):
+        logp[t, c] = np.log(0.99)
+    ids = ctc_prefix_beam_search_host(logp, beam_size=4)
+    assert ids == [3, 5, 2, 7]
+
+
+def test_checkpoint_save_restore(tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    import jax
+
+    from speechcatcher_tpu.utils.save import load_checkpoint, save_checkpoint
+
+    cfg = tiny_config()
+    model = ASRModel.random_init(cfg, seed=3)
+    save_checkpoint(tmp_path / "ckpt", model.params, cfg, step=7)
+    params, cfg2, step = load_checkpoint(tmp_path / "ckpt")
+    assert step == 7
+    assert cfg2.vocab_size == cfg.vocab_size
+    a = jax.tree.leaves(model.params)
+    b = jax.tree.leaves(params)
+    assert len(a) == len(b)
+    np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]))
+
+
+def test_serving_metrics():
+    from speechcatcher_tpu.utils.metrics import ServingMetrics
+
+    m = ServingMetrics(chunk_seconds=0.512)
+    for _ in range(3):
+        m.tick_begin(active_streams=4)
+        m.tick_end()
+    m.finalized()
+    snap = m.snapshot()
+    assert snap["total_ticks"] == 3
+    assert snap["total_finals"] == 1
+    assert snap["tick_p50_ms"] >= 0
+
+
+def test_wav_scp_parsing(tmp_path):
+    from speechcatcher_tpu.decode_kaldidir import read_wav_scp
+
+    scp = tmp_path / "wav.scp"
+    scp.write_text("utt1 /a/b.wav\nutt2 sox x.mp3 -t wav - |\n")
+    entries = read_wav_scp(scp)
+    assert entries == [("utt1", "/a/b.wav"),
+                      ("utt2", "sox x.mp3 -t wav - |")]
+
+
+def test_cli_entry_points_importable():
+    from speechcatcher_tpu.recognize import main as m1  # noqa: F401
+    from speechcatcher_tpu.serve.server import main as m2  # noqa: F401
+    from speechcatcher_tpu.wer import main as m3  # noqa: F401
+    from speechcatcher_tpu.endpointing_cli import main as m4  # noqa: F401
+    from speechcatcher_tpu.decode_kaldidir import main as m5  # noqa: F401
+    from speechcatcher_tpu.serve.vosk_test_client import main as m6  # noqa: F401
+
+
+def test_tokenizer_protobuf_roundtrip(tmp_path):
+    """Write a minimal SentencePiece-format model with the protobuf wire
+    format and read it back."""
+    import struct
+
+    from speechcatcher_tpu.tokenizer import Tokenizer, read_sentencepiece_pieces
+
+    def varint(n):
+        out = b""
+        while True:
+            b7 = n & 0x7F
+            n >>= 7
+            out += bytes([b7 | (0x80 if n else 0)])
+            if not n:
+                return out
+
+    def piece_msg(piece, score=0.0, ptype=1):
+        body = (
+            b"\x0a" + varint(len(piece.encode())) + piece.encode()
+            + b"\x15" + struct.pack("<f", score)
+            + b"\x18" + varint(ptype)
+        )
+        return b"\x0a" + varint(len(body)) + body
+
+    pieces = ["<unk>", "<s>", "</s>", "▁a", "▁b", "c"]
+    buf = b"".join(piece_msg(p) for p in pieces)
+    path = tmp_path / "bpe.model"
+    path.write_bytes(buf)
+
+    assert read_sentencepiece_pieces(path) == pieces
+    tok = Tokenizer.from_sentencepiece(path)
+    assert tok.token_list == ["<blank>", "<unk>", "▁a", "▁b", "c", "<sos/eos>"]
+    assert tok.ids_to_text([2, 4, 3]) == "ac b"

@@ -56,7 +56,7 @@ def test_partials_and_finalize(manager):
             partials.append(out[sid])
             if "result" in out[sid]:
                 break
-        if len(manager.sessions[sid].staged) < CHUNK:
+        if manager.sessions[sid].staged.available() < CHUNK:
             break
     assert partials, "no messages produced"
     assert all("partial" in p or "result" in p for p in partials)
