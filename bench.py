@@ -90,7 +90,7 @@ def main():
         cfg = tiny_config()
         ladder = [2]
     else:
-        ladder = [96, 128, 144]
+        ladder = [128, 144, 160]
 
     model = ASRModel.random_init(cfg, seed=0)
     beam = 5 if on_accelerator else 2

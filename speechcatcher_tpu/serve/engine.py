@@ -353,6 +353,120 @@ def _gather_new_frames(
 
 
 # ---------------------------------------------------------------------------
+# Fused tick programs
+#
+# Each device program dispatch through the TPU service costs ~10-30 ms of
+# latency; a tick composed of ~10 small programs spends more time idle than
+# computing. These wrappers fuse the whole encode path (frontend →
+# subsample → append → blocks) and the whole decode round (gather → CTC
+# extend → cross-KV extend → beam loop) into one program each, with the
+# host-side per-slot integer vectors packed into a single (K, S) transfer.
+# ---------------------------------------------------------------------------
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "maxb", "n_fft", "hop", "subcap")
+)
+def _fused_encode(
+    params,
+    pe: jnp.ndarray,
+    buffers: EngineBuffers,
+    audio: jnp.ndarray,   # (S, A)
+    ints: jnp.ndarray,    # (10, S) int32: wave_len, trim_start, keep_from,
+                          # keep_len, raw_len, valid_feats, consumed,
+                          # post_len, n_sub_out, bn
+    flags: jnp.ndarray,   # (2, S) bool: has_prev, has_past
+    window: jnp.ndarray,
+    mel_fb: jnp.ndarray,
+    mean: jnp.ndarray,
+    inv_std: jnp.ndarray,
+    buf_len: jnp.ndarray,  # (S,)
+    npb: jnp.ndarray,      # (S,)
+    cfg: ModelConfig,
+    maxb: int,
+    n_fft: int,
+    hop: int,
+    subcap: int,
+) -> EngineBuffers:
+    (wave_len, trim_start, keep_from, keep_len, raw_len, valid_feats,
+     consumed, post_len, n_sub_out, bn) = [ints[i] for i in range(10)]
+    has_prev, has_past = flags[0], flags[1]
+
+    feats, new_wave = _tick_frontend(
+        buffers.wave, audio, wave_len, trim_start, keep_from, keep_len,
+        window, mel_fb, mean, inv_std, n_fft, hop,
+    )
+    sub_frames, new_raw = _tick_subsample(
+        params["encoder"]["embed"], buffers.raw, feats, raw_len, valid_feats,
+        consumed, cfg,
+    )
+    new_post = _scatter_append(
+        buffers.post, sub_frames[:, :subcap, :], post_len, n_sub_out
+    )
+    buffers = buffers._replace(wave=new_wave, raw=new_raw, post=new_post)
+    if maxb == 0:
+        return buffers
+    new_post, new_prev, new_past, new_enc = _tick_blocks(
+        params, pe, buffers.post, bn, npb, has_prev, has_past,
+        buffers.prev_addin, buffers.past_ctx, buffers.enc_out, buf_len,
+        cfg, maxb,
+    )
+    return buffers._replace(
+        post=new_post, prev_addin=new_prev, past_ctx=new_past,
+        enc_out=new_enc,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "beam", "pre_beam", "ctc_weight", "use_bbd",
+                     "max_length", "l_bound", "t_bound", "extcap"),
+)
+def _fused_round(
+    params,
+    dec_pe: jnp.ndarray,
+    enc_out: jnp.ndarray,
+    mem_cache: MemoryCache,
+    state: BlockDecodeState,
+    vis_len: jnp.ndarray,   # (S,) BEFORE extension
+    n_ext: jnp.ndarray,     # (S,) new frames to make visible
+    block_final: jnp.ndarray,
+    cfg: ModelConfig,
+    beam: int,
+    pre_beam: int,
+    ctc_weight: float,
+    use_bbd: bool,
+    max_length: int,
+    l_bound: int,
+    t_bound: int,
+    extcap: int,
+):
+    """Extend scorers + run the block beam loop, all in one program.
+
+    Returns (new state, new mem_cache, packed (S, 1+Lmax) readback of
+    [ylen, best yseq])."""
+    new_frames = _gather_new_frames(enc_out, vis_len, cfg, extcap)
+    new_logp = ctc_log_softmax(params["ctc"], new_frames)
+    state = state._replace(
+        arrays=state.arrays._replace(
+            ctc=ctc_extend(state.arrays.ctc, new_logp, n_ext)
+        )
+    )
+    mem_cache = extend_memory_cache(
+        params["decoder"], mem_cache, new_frames, vis_len, cfg, n_new=n_ext
+    )
+    new_vis = vis_len + n_ext
+    out = decode_block_device(
+        params, dec_pe, mem_cache, state, new_vis, block_final, cfg, beam,
+        pre_beam, ctc_weight, use_bbd, max_length, l_bound=l_bound,
+        t_bound=t_bound,
+    )
+    packed = jnp.concatenate(
+        [out.arrays.ylen[:, None], out.arrays.yseq[:, 0, :]], axis=1
+    )
+    return out, mem_cache, packed
+
+
+# ---------------------------------------------------------------------------
 # Engine
 # ---------------------------------------------------------------------------
 
@@ -463,6 +577,8 @@ class StreamingEngine:
         # per-tick bulk readback) — drives the l_bound bucket so the decode
         # loop touches only the live region of the KV caches.
         self.ylen_upper = 1
+        self._last_packed: Optional[np.ndarray] = None
+        self._pending_packed = None  # device array awaiting host copy
 
         # Single-stream finalizer (shares weights; used per final chunk).
         self._finalizer = BlockwiseSynchronousBeamSearch(
@@ -499,6 +615,8 @@ class StreamingEngine:
         self.prev_valid_dev = jnp.where(m, False, self.prev_valid_dev)
         self.process_idx_dev = jnp.where(m, 0, self.process_idx_dev)
         self.output_index_dev = jnp.where(m, 0, self.output_index_dev)
+        if self._last_packed is not None:
+            self._last_packed[s, 0] = 1  # stale partials cleared
 
     # ------------------------------------------------------------------
     # Tick
@@ -523,16 +641,27 @@ class StreamingEngine:
             audio_batch[s] = chunk
             do[s] = True
 
-        self._tick_encode(audio_batch, do)
-        self._run_rounds(do)
+        # Materialize the PREVIOUS tick's packed [ylen | best yseq] readback
+        # first: it has finished computing by now, so this host copy is
+        # cheap, and this tick's device work overlaps the next tick's host
+        # prep. Partial outputs therefore lag one tick (~one chunk), which
+        # is immaterial for display/endpointing; finals read synchronously.
+        if self._pending_packed is not None:
+            self._last_packed = np.array(self._pending_packed)
+            self._pending_packed = None
 
-        # ONE bulk readback per tick (per-slot reads would pay the host
-        # round-trip latency once per slot).
-        ylen = np.asarray(self.arrays.ylen)
-        self.ylen_upper = max(int(ylen.max()), 1)
-        best = np.asarray(self.arrays.yseq[:, 0, :])
+        self._tick_encode(audio_batch, do)
+        packed_dev = self._run_rounds(do)
+        if packed_dev is not None:
+            self._pending_packed = packed_dev
+
         out: Dict[int, List[int]] = {}
         drop = {self.cfg.blank_id, self.cfg.eos_id}
+        if self._last_packed is None:
+            return {s: [] for s in slots}
+        ylen = self._last_packed[:, 0]
+        self.ylen_upper = max(int(ylen.max()), 1)
+        best = self._last_packed[:, 1:]
         for s in slots:
             n = int(ylen[s])
             out[s] = (
@@ -565,33 +694,13 @@ class StreamingEngine:
         )
         keep_from = np.where(can, total - keep_len, 0)
 
-        feats, new_wave = _tick_frontend(
-            self.buffers.wave,
-            jnp.asarray(audio_batch),
-            jnp.asarray(c.wave_len.astype(np.int32)),
-            jnp.asarray(trim_start.astype(np.int32)),
-            jnp.asarray(keep_from.astype(np.int32)),
-            jnp.asarray(keep_len.astype(np.int32)),
-            self.model.frontend.window,
-            self.model.frontend.mel_fb,
-            self.model.frontend.mean,
-            self.model.frontend.inv_std,
-            cfg.n_fft,
-            hop,
-        )
-        self.buffers = self.buffers._replace(wave=new_wave)
-        c.wave_len = keep_len
-        c.first_wave = np.where(can, False, c.first_wave)
-
-        # Subsampling.
+        # Subsampling bookkeeping (host).
         raw_total = c.raw_len + valid_feats
         n_samples = raw_total // sub - 1
         can_sub = can & (n_samples >= 2)
         n_sub_in = np.where(can_sub, n_samples * sub, 0)  # frames consumed
         n_sub_out = np.zeros(self.S, np.int64)
-        kernels_out = 0
-        # conv output count for n_samples*sub input frames:
-        # conv2d: n_samples - 1 (two k=3,s=2 convs).
+        # conv output count for n_samples*sub input frames.
         from speechcatcher_tpu.models.encoder import subsampled_len
 
         for i in range(self.S):
@@ -600,27 +709,7 @@ class StreamingEngine:
         n_res_raw = np.where(can_sub, raw_total % sub + sub * 2, raw_total)
         consumed = np.where(can_sub, raw_total - n_res_raw, 0)
 
-        sub_frames, new_raw = _tick_subsample(
-            self.model.params["encoder"]["embed"],
-            self.buffers.raw,
-            feats,
-            jnp.asarray(c.raw_len.astype(np.int32)),
-            jnp.asarray(valid_feats.astype(np.int32)),
-            jnp.asarray(consumed.astype(np.int32)),
-            cfg,
-        )
-        self.buffers = self.buffers._replace(raw=new_raw)
-        c.raw_len = n_res_raw
-
-        # Append new frames, then run only as many block slots as any stream
-        # actually has ready this tick (static maxb variant — typically 1).
-        new_post = _append_post(
-            self.buffers.post,
-            sub_frames[:, : self.SUBCAP, :],
-            jnp.asarray(c.post_len.astype(np.int32)),
-            jnp.asarray(n_sub_out.astype(np.int32)),
-        )
-        self.buffers = self.buffers._replace(post=new_post)
+        # Block bookkeeping (host).
         post_total = c.post_len + n_sub_out
         overlap = cfg.block_size - cfg.hop_size
         bn = np.where(
@@ -630,29 +719,40 @@ class StreamingEngine:
         )
         bn = np.minimum(bn, self.MAXB)
         maxb_tick = int(bn.max())
+
+        ints = np.stack(
+            [c.wave_len, trim_start, keep_from, keep_len, c.raw_len,
+             valid_feats, consumed, c.post_len, n_sub_out, bn]
+        ).astype(np.int32)
+        flags = np.stack([c.has_prev, c.has_past])
+
+        self.buffers = _fused_encode(
+            self.model.params,
+            self.model.enc_pe,
+            self.buffers,
+            jnp.asarray(audio_batch),
+            jnp.asarray(ints),
+            jnp.asarray(flags),
+            self.model.frontend.window,
+            self.model.frontend.mel_fb,
+            self.model.frontend.mean,
+            self.model.frontend.inv_std,
+            jnp.asarray(c.buf_len.astype(np.int32)),
+            jnp.asarray(c.npb.astype(np.int32)),
+            cfg,
+            maxb_tick,
+            cfg.n_fft,
+            hop,
+            self.SUBCAP,
+        )
+
+        # Host counter updates.
+        c.wave_len = keep_len
+        c.first_wave = np.where(can, False, c.first_wave)
+        c.raw_len = n_res_raw
         if maxb_tick == 0:
             c.post_len = post_total
             return
-
-        new_post, new_prev, new_past, new_enc = _tick_blocks(
-            self.model.params,
-            self.model.enc_pe,
-            self.buffers.post,
-            jnp.asarray(bn.astype(np.int32)),
-            jnp.asarray(c.npb.astype(np.int32)),
-            jnp.asarray(c.has_prev),
-            jnp.asarray(c.has_past),
-            self.buffers.prev_addin,
-            self.buffers.past_ctx,
-            self.buffers.enc_out,
-            jnp.asarray(c.buf_len.astype(np.int32)),
-            cfg,
-            maxb_tick,
-        )
-        self.buffers = self.buffers._replace(
-            post=new_post, prev_addin=new_prev, past_ctx=new_past,
-            enc_out=new_enc,
-        )
         offset = cfg.block_size - cfg.look_ahead - cfg.hop_size
         emitted = np.where(
             bn > 0, bn * cfg.hop_size + np.where(c.npb == 0, offset, 0), 0
@@ -664,9 +764,20 @@ class StreamingEngine:
         c.npb = c.npb + bn
 
     # -- beam rounds ---------------------------------------------------------
+    @staticmethod
+    def _bucket(n: int, cap: int, floor: int = 64) -> int:
+        b = floor
+        while b < n:
+            b *= 2
+        return min(b, cap)
+
     def _run_rounds(self, do: np.ndarray):
+        """Each round makes one block visible per ready stream and runs the
+        fused extend+decode program. Returns the last round's packed
+        [ylen | best yseq] device array (None if no round ran)."""
         c = self.c
         cfg = self.cfg
+        packed = None
         while True:
             cur_end = (
                 cfg.block_size - cfg.look_ahead
@@ -675,82 +786,51 @@ class StreamingEngine:
             ready = do & c.active & (cur_end < c.buf_len)
             if not ready.any():
                 break
-            self._extend_visible(ready, np.where(ready, cur_end, c.vis_len))
+            new_vis = np.where(ready, cur_end, c.vis_len)
+            n_ext = np.where(ready, new_vis - c.vis_len, 0)
+            assert (n_ext <= self.EXTCAP).all(), (n_ext, self.EXTCAP)
+
+            l_bound = self._bucket(self.ylen_upper + 64, cfg.max_tokens)
+            t_bound = self._bucket(int(new_vis.max()) + 1, self.ECAP,
+                                   floor=128)
+            dev_state = BlockDecodeState(
+                arrays=self.arrays,
+                prev_arrays=self.prev_arrays,
+                prev_valid=self.prev_valid_dev,
+                process_idx=self.process_idx_dev,
+                output_index=self.output_index_dev,
+                stepping=jnp.asarray(ready),
+            )
+            out, self.mem_cache, packed = _fused_round(
+                self.model.params,
+                self.model.dec_pe,
+                self.buffers.enc_out,
+                self.mem_cache,
+                dev_state,
+                jnp.asarray(c.vis_len.astype(np.int32)),
+                jnp.asarray(n_ext.astype(np.int32)),
+                jnp.zeros(self.S, dtype=bool),
+                cfg,
+                self.beam,
+                self.pre_beam,
+                self.ctc_weight,
+                self.use_bbd,
+                self.max_length,
+                l_bound,
+                t_bound,
+                self.EXTCAP,
+            )
+            self.arrays = out.arrays
+            self.prev_arrays = out.prev_arrays
+            self.prev_valid_dev = out.prev_valid
+            self.process_idx_dev = out.process_idx
+            self.output_index_dev = out.output_index
+
+            c.vis_len = new_vis
             c.processed_block = np.where(
                 ready, c.processed_block + 1, c.processed_block
             )
-            self._beam_loop(ready, block_final=np.zeros(self.S, bool))
-
-    def _extend_visible(self, mask: np.ndarray, new_vis: np.ndarray):
-        c = self.c
-        n_ext = np.where(mask, new_vis - c.vis_len, 0)
-        assert (n_ext <= self.EXTCAP).all(), (n_ext, self.EXTCAP)
-        if not (n_ext > 0).any():
-            return
-        new_frames = _gather_new_frames(
-            self.buffers.enc_out,
-            jnp.asarray(c.vis_len.astype(np.int32)),
-            self.cfg,
-            self.EXTCAP,
-        )
-        new_logp = ctc_log_softmax(self.model.params["ctc"], new_frames)
-        self.arrays = self.arrays._replace(
-            ctc=ctc_extend(
-                self.arrays.ctc, new_logp, jnp.asarray(n_ext.astype(np.int32))
-            )
-        )
-        self.mem_cache = extend_memory_cache(
-            self.model.params["decoder"],
-            self.mem_cache,
-            new_frames,
-            jnp.asarray(c.vis_len.astype(np.int32)),
-            self.cfg,
-            n_new=jnp.asarray(n_ext.astype(np.int32)),
-        )
-        c.vis_len = np.where(mask, new_vis, c.vis_len)
-
-    @staticmethod
-    def _bucket(n: int, cap: int, floor: int = 64) -> int:
-        b = floor
-        while b < n:
-            b *= 2
-        return min(b, cap)
-
-    def _beam_loop(self, ready: np.ndarray, block_final: np.ndarray):
-        """Per-block beam loop: one device program for the whole batch
-        (EOS stop, BBD rollback, rewind — decode_block_device)."""
-        c = self.c
-        l_bound = self._bucket(self.ylen_upper + 64, self.cfg.max_tokens)
-        t_bound = self._bucket(int(c.vis_len.max()) + 1, self.ECAP, floor=128)
-        dev_state = BlockDecodeState(
-            arrays=self.arrays,
-            prev_arrays=self.prev_arrays,
-            prev_valid=self.prev_valid_dev,
-            process_idx=self.process_idx_dev,
-            output_index=self.output_index_dev,
-            stepping=jnp.asarray(ready),
-        )
-        out = decode_block_device(
-            self.model.params,
-            self.model.dec_pe,
-            self.mem_cache,
-            dev_state,
-            jnp.asarray(c.vis_len.astype(np.int32)),
-            jnp.asarray(block_final),
-            self.cfg,
-            self.beam,
-            self.pre_beam,
-            self.ctc_weight,
-            self.use_bbd,
-            self.max_length,
-            l_bound=l_bound,
-            t_bound=t_bound,
-        )
-        self.arrays = out.arrays
-        self.prev_arrays = out.prev_arrays
-        self.prev_valid_dev = out.prev_valid
-        self.process_idx_dev = out.process_idx
-        self.output_index_dev = out.output_index
+        return packed
 
     # ------------------------------------------------------------------
     # Output + finalize
