@@ -297,6 +297,9 @@ def main():
     parser.add_argument("--pool-size", type=int, default=64,
                         help="Concurrent stream slots (one model copy; the "
                         "reference preloads this many replicas)")
+    parser.add_argument("--dp", type=int, default=1,
+                        help="Shard stream slots over this many chips "
+                        "(pure data parallelism over ICI)")
     parser.add_argument("--vosk-output-format", action="store_true",
                         default=True)
     parser.add_argument("--finalize-update-iters", type=int, default=6)
@@ -308,6 +311,11 @@ def main():
     engine = StreamingEngine(
         s2t.model, n_slots=args.pool_size, beam_size=args.beamsize
     )
+    if args.dp > 1:
+        from speechcatcher_tpu.parallel.mesh import make_mesh
+        from speechcatcher_tpu.parallel.serve_sharding import shard_engine
+
+        engine = shard_engine(engine, make_mesh(args.dp, tp=1))
     manager = SessionManager(
         engine,
         finalize_update_iters=args.finalize_update_iters,

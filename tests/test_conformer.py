@@ -11,6 +11,9 @@ from speechcatcher_tpu.config import tiny_config
 from speechcatcher_tpu.ops.conformer import conv_module, rel_position_attention
 
 torch = pytest.importorskip("torch")
+# Parity tests need the reference implementation (mounted read-only
+# at /root/reference in the dev environment; absent in CI).
+pytest.importorskip("speechcatcher")
 
 D, H = 16, 2
 

@@ -15,6 +15,9 @@ from speechcatcher_tpu.decode.ctc_prefix import (
 )
 
 torch = pytest.importorskip("torch")
+# Parity tests need the reference implementation (mounted read-only
+# at /root/reference in the dev environment; absent in CI).
+pytest.importorskip("speechcatcher")
 
 V = 12       # vocab
 BEAM = 3

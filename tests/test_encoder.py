@@ -17,6 +17,9 @@ from speechcatcher_tpu.models.encoder import (
 from helpers import make_reference_modules, reference_params_to_jax, rand_feats
 
 torch = pytest.importorskip("torch")
+# Parity tests need the reference implementation (mounted read-only
+# at /root/reference in the dev environment; absent in CI).
+pytest.importorskip("speechcatcher")
 
 CFG = tiny_config(n_mels=20)
 

@@ -13,6 +13,7 @@ torch = pytest.importorskip("torch")
 
 
 def _reference_features(wave: np.ndarray, mean, std) -> np.ndarray:
+    pytest.importorskip("speechcatcher")
     from speechcatcher.model.frontend.stft_frontend import STFTFrontend
 
     fe = STFTFrontend()

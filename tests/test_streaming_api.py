@@ -67,6 +67,7 @@ def test_apply_frontend_trimming_matches_reference():
     """Exact waveform-buffer/trim parity with the reference method
     (speech2text_streaming.py:278-400), invoked on a shell instance."""
     torch = pytest.importorskip("torch")
+    pytest.importorskip("speechcatcher")
     from speechcatcher.speech2text_streaming import (
         Speech2TextStreaming as RefS2T,
     )
