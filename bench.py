@@ -93,6 +93,11 @@ def main():
         ladder = [128, 144, 160]
 
     model = ASRModel.random_init(cfg, seed=0)
+    if on_accelerator:
+        # Mixed precision: bf16 matmul weights (fp32 accumulation/norms).
+        from speechcatcher_tpu.ops.layers import cast_params
+
+        model.params = cast_params(model.params)
     beam = 5 if on_accelerator else 2
 
     start = time.time()

@@ -144,12 +144,14 @@ def conv2d_subsample(p: Params, x: jnp.ndarray, input_layer: str) -> jnp.ndarray
     kernels, strides = _CONV_SPECS[input_layer]
     h = x[:, None, :, :]  # NCHW: (B, 1, T, feat)
     for conv, s in zip(p["convs"], strides):
+        w = conv["weight"]
         h = jax.lax.conv_general_dilated(
-            h,
-            conv["weight"],
+            h.astype(w.dtype) if w.dtype == jnp.bfloat16 else h,
+            w,
             window_strides=(s, s),
             padding="VALID",
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            preferred_element_type=jnp.float32,
         )
         h = h + conv["bias"][None, :, None, None]
         h = jax.nn.relu(h)

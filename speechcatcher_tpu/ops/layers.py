@@ -32,16 +32,50 @@ LAYERNORM_EPS = 1e-12
 MASK_MIN = float(np.finfo(np.float32).min)
 
 
+def cast_params(params, dtype=None):
+    """Cast matmul weights to bf16 for mixed-precision inference; norms,
+    biases, and embeddings stay fp32 (linear() upcasts outputs to fp32, so
+    softmax/layernorm numerics remain fp32)."""
+    import jax
+
+    if dtype is None:
+        dtype = jnp.bfloat16
+
+    def cast(path, x):
+        name = "/".join(str(p) for p in path)
+        if (
+            x.dtype == jnp.float32
+            and x.ndim >= 2
+            and "weight" in name
+            and "norm" not in name
+            and "batch_norm" not in name
+            and not name.endswith("embed/weight")  # token embedding lookups
+        ):
+            return x.astype(dtype)
+        return x
+
+    return jax.tree_util.tree_map_with_path(
+        lambda p, x: cast([getattr(k, "key", getattr(k, "idx", "")) for k in p], x),
+        params,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Primitive layers
 # ---------------------------------------------------------------------------
 
 def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    """x @ W^T + b with torch-layout weight (out, in)."""
-    y = jnp.einsum("...i,oi->...o", x, p["weight"],
+    """x @ W^T + b with torch-layout weight (out, in).
+
+    Mixed precision: when the weight is stored bf16 (cast_params), the input
+    casts to bf16 so the matmul takes the fast MXU path; accumulation and
+    the output stay fp32."""
+    w = p["weight"]
+    xin = x.astype(w.dtype) if w.dtype == jnp.bfloat16 else x
+    y = jnp.einsum("...i,oi->...o", xin, w,
                    preferred_element_type=jnp.float32)
     if "bias" in p:
-        y = y + p["bias"]
+        y = y + p["bias"].astype(jnp.float32)
     return y
 
 
