@@ -157,8 +157,16 @@ class SessionManager:
 
         for sid, sess in list(self.sessions.items()):
             if sess.pending_final:
-                out[sid] = self._finalize(sess)
-                self.metrics.finalized()
+                # A failing session must not take the batcher (and every
+                # other live session) down with it (SURVEY §5.3: the
+                # isolation requirement) — quarantine and close instead.
+                try:
+                    out[sid] = self._finalize(sess)
+                    self.metrics.finalized()
+                except Exception:
+                    logger.exception("finalize failed for session %s", sid)
+                    out[sid] = {"result": [], "text": ""}
+                    self.close_session(sid)
         return out
 
     def _finalize(self, sess: Session) -> dict:
@@ -203,15 +211,22 @@ class SessionManager:
 # ---------------------------------------------------------------------------
 
 async def _batcher(manager: SessionManager, tick_interval: float):
-    """Central loop: tick whenever any session has a full chunk staged."""
+    """Central loop: tick whenever any session has a full chunk staged.
+    The loop must survive any per-tick exception (serving is long-lived)."""
     while True:
-        if manager.ready():
-            out = await asyncio.to_thread(manager.tick)
-            for sid, msg in out.items():
-                sess = manager.sessions.get(sid)
-                if sess is not None and sess.outbox is not None:
-                    await sess.outbox.put(json.dumps(msg))
-        else:
+        try:
+            if manager.ready():
+                out = await asyncio.to_thread(manager.tick)
+                for sid, msg in out.items():
+                    sess = manager.sessions.get(sid)
+                    if sess is not None and sess.outbox is not None:
+                        await sess.outbox.put(json.dumps(msg))
+            else:
+                await asyncio.sleep(tick_interval)
+        except asyncio.CancelledError:
+            raise
+        except Exception:
+            logger.exception("tick failed; continuing")
             await asyncio.sleep(tick_interval)
 
 
