@@ -635,11 +635,21 @@ class StreamingEngine:
             return {}
         do = np.zeros(self.S, bool)
         audio_batch = np.zeros((self.S, self.A), np.float32)
+        offset = cfg.block_size - cfg.look_ahead - cfg.hop_size
+        emit_max = self.MAXB * cfg.hop_size + offset
         for s in slots:
             chunk = audio[s]
             assert len(chunk) == self.A, "tick requires fixed-size chunks"
+            # Capacity stall: a stream whose encoder ring would overflow
+            # stops consuming audio; its partials freeze, which trips the
+            # caller's plateau endpointing → finalize. Silent wraparound
+            # corruption is never possible.
+            if c.buf_len[s] + emit_max > self.ECAP:
+                continue
             audio_batch[s] = chunk
             do[s] = True
+        if not do.any():
+            return {s: self.partial_tokens(s) for s in slots}
 
         # Materialize the PREVIOUS tick's packed [ylen | best yseq] readback
         # first: it has finished computing by now, so this host copy is

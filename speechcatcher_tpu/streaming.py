@@ -142,7 +142,7 @@ class Speech2TextStreaming:
         self,
         speech: Union[np.ndarray, jnp.ndarray],
         is_final: bool = False,
-        finalize_all: bool = False,
+        finalize_all: bool = True,
         always_assemble_hyps: bool = True,
     ) -> List[Result]:
         """Process one chunk (reference :402-539).
@@ -169,17 +169,25 @@ class Speech2TextStreaming:
 
         if not always_assemble_hyps and not is_final:
             return []
-        results = self._assemble(is_final=is_final)
+        results = self._assemble(is_final=is_final, finalize_all=finalize_all)
         if is_final:
             self.reset()
         return results
 
     # ------------------------------------------------------------------
-    def _assemble(self, is_final: bool) -> List[Result]:
+    def _assemble(self, is_final: bool, finalize_all: bool = True
+                  ) -> List[Result]:
         """Best-hypothesis output (assemble_hyps semantics:
-        strip SOS + trailing/unstable last token, drop blanks, detokenize)."""
+        strip SOS + trailing/unstable last token, drop blanks, detokenize).
+
+        finalize_all=False on a final chunk emits only hypotheses that
+        reached EOS (reference speech2text_streaming.py:469-481: segment
+        finals withhold incomplete hypotheses unless this is the very last
+        chunk of the audio)."""
         yseq, xpos, score = self.beam_search.best_hypothesis()
         if len(yseq) <= 1:
+            return []
+        if is_final and not finalize_all and int(yseq[-1]) != self.cfg.eos_id:
             return []
         if is_final:
             token_ids = yseq[1:]
