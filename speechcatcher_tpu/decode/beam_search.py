@@ -119,6 +119,7 @@ def _beam_step_core(
     pre_beam: int,
     ctc_weight: float,
     use_bbd: bool,
+    penalty: float = 0.0,
 ) -> Tuple[BeamArrays, StepFlags]:
     """One synchronous beam step for all streams (reference :701-821)."""
     s_dim = arrays.yseq.shape[0]
@@ -154,7 +155,11 @@ def _beam_step_core(
         arrays.ctc, last_tok, olen, cand_ids,
         blank=cfg.blank_id, eos=cfg.eos_id,
     )
-    combined = decoder_weight * dec_logp + ctc_weight * ctc_scores
+    # Length bonus (insertion penalty): uniform +penalty per emitted token,
+    # the reference's LengthBonus scorer (weights["length_bonus"]=penalty).
+    combined = (
+        decoder_weight * dec_logp + ctc_weight * ctc_scores + penalty
+    )
 
     # --- Expand: per-hyp top-B, then global top-B of the B·B candidates
     # (reference :721-758 expands per-hyp beams then prunes by total score).
@@ -248,7 +253,8 @@ def _beam_step_core(
 
 beam_step = functools.partial(
     jax.jit,
-    static_argnames=("cfg", "beam", "pre_beam", "ctc_weight", "use_bbd"),
+    static_argnames=("cfg", "beam", "pre_beam", "ctc_weight", "use_bbd",
+                     "penalty"),
 )(_beam_step_core)
 
 
@@ -345,7 +351,7 @@ def _merge_arrays(full: BeamArrays, view: BeamArrays, l_bound: int,
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "beam", "pre_beam", "ctc_weight", "use_bbd",
-                     "max_length", "l_bound", "t_bound"),
+                     "max_length", "l_bound", "t_bound", "penalty"),
 )
 def decode_block_device(
     params,
@@ -362,6 +368,7 @@ def decode_block_device(
     max_length: int,
     l_bound: Optional[int] = None,
     t_bound: Optional[int] = None,
+    penalty: float = 0.0,
 ) -> BlockDecodeState:
     """The whole per-block beam loop as ONE device program.
 
@@ -404,7 +411,7 @@ def decode_block_device(
         old = st.arrays
         new, flags = _beam_step_core(
             params, dec_pe, mem_view, old, vis_len, cfg, beam, pre_beam,
-            ctc_weight, use_bbd,
+            ctc_weight, use_bbd, penalty,
         )
         output_index = jnp.where(stepping, st.output_index + 1,
                                  st.output_index)
@@ -501,12 +508,14 @@ class BlockwiseSynchronousBeamSearch:
         use_bbd: bool = True,
         pre_beam_size: Optional[int] = None,
         max_length: Optional[int] = None,
+        penalty: float = 0.0,
     ):
         self.model = model
         self.cfg = model.cfg
         self.beam_size = beam_size
         self.ctc_weight = ctc_weight
         self.use_bbd = use_bbd
+        self.penalty = penalty
         self.pre_beam = pre_beam_size or self.cfg.pre_beam_size
         self.max_length = max_length or self.cfg.max_tokens - 1
         self.encoder = StreamingEncoder(
@@ -617,6 +626,7 @@ class BlockwiseSynchronousBeamSearch:
             self.ctc_weight,
             self.use_bbd,
             self.max_length,
+            penalty=self.penalty,
         )
         st.arrays = out.arrays
         st.prev_arrays = out.prev_arrays if bool(out.prev_valid[0]) else None

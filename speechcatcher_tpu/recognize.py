@@ -68,6 +68,7 @@ def load_model(
         model_dir=model_dir,
         beam_size=beam_size,
         ctc_weight=0.3,
+        dtype="bfloat16" if fp16 else "float32",
         use_bbd=use_bbd,
     )
 
@@ -305,6 +306,9 @@ def main():
     parser.add_argument("-d", "--device", dest="device", default="tpu")
     parser.add_argument("-b", "--beamsize", dest="beamsize", type=int,
                         default=5)
+    parser.add_argument("--fp16", dest="fp16", action="store_true",
+                        help="Reduced precision (bf16 on TPU) for faster "
+                        "inference")
     parser.add_argument("--disable-bbd", dest="disable_bbd",
                         action="store_true")
     parser.add_argument("--quiet", dest="quiet", action="store_true")
@@ -343,6 +347,7 @@ def main():
         beam_size=args.beamsize,
         quiet=args.quiet,
         cache_dir=args.cache_dir,
+        fp16=args.fp16,
         use_bbd=not args.disable_bbd,
     )
 

@@ -419,7 +419,7 @@ def _fused_encode(
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "beam", "pre_beam", "ctc_weight", "use_bbd",
-                     "max_length", "l_bound", "t_bound", "extcap"),
+                     "max_length", "l_bound", "t_bound", "extcap", "penalty"),
 )
 def _fused_round(
     params,
@@ -439,6 +439,7 @@ def _fused_round(
     l_bound: int,
     t_bound: int,
     extcap: int,
+    penalty: float = 0.0,
 ):
     """Extend scorers + run the block beam loop, all in one program.
 
@@ -458,7 +459,7 @@ def _fused_round(
     out = decode_block_device(
         params, dec_pe, mem_cache, state, new_vis, block_final, cfg, beam,
         pre_beam, ctc_weight, use_bbd, max_length, l_bound=l_bound,
-        t_bound=t_bound,
+        t_bound=t_bound, penalty=penalty,
     )
     packed = jnp.concatenate(
         [out.arrays.ylen[:, None], out.arrays.yseq[:, 0, :]], axis=1
@@ -523,6 +524,7 @@ class StreamingEngine:
         use_bbd: bool = True,
         chunk_samples: int = 8192,
         pre_beam_size: Optional[int] = None,
+        penalty: float = 0.0,
     ):
         self.model = model
         cfg = model.cfg
@@ -532,6 +534,7 @@ class StreamingEngine:
         self.ctc_weight = ctc_weight
         self.use_bbd = use_bbd
         self.pre_beam = min(pre_beam_size or cfg.pre_beam_size, cfg.vocab_size)
+        self.penalty = penalty
         self.A = chunk_samples
         self.max_length = cfg.max_tokens - 1
 
@@ -582,7 +585,8 @@ class StreamingEngine:
 
         # Single-stream finalizer (shares weights; used per final chunk).
         self._finalizer = BlockwiseSynchronousBeamSearch(
-            model, beam_size=beam_size, ctc_weight=ctc_weight, use_bbd=use_bbd
+            model, beam_size=beam_size, ctc_weight=ctc_weight,
+            use_bbd=use_bbd, penalty=penalty,
         )
 
     # ------------------------------------------------------------------
@@ -829,6 +833,7 @@ class StreamingEngine:
                 l_bound,
                 t_bound,
                 self.EXTCAP,
+                self.penalty,
             )
             self.arrays = out.arrays
             self.prev_arrays = out.prev_arrays

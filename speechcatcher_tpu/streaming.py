@@ -50,6 +50,13 @@ class Speech2TextStreaming:
             if model_dir is None:
                 raise ValueError("need model_dir or model")
             model = ASRModel.from_directory(Path(model_dir))
+        if dtype in ("float16", "bfloat16"):
+            # Mixed precision: bf16 matmul weights + bf16 KV caches (bf16 is
+            # the TPU-native reduced precision; fp16 requests map to it).
+            from speechcatcher_tpu.ops.layers import cast_params
+
+            model.params = cast_params(model.params)
+            model.cfg = model.cfg.replace(cache_dtype="bfloat16")
         self.model = model
         self.cfg = model.cfg
         self.beam_size = beam_size

@@ -139,3 +139,12 @@ def test_wer_module():
     m = word_error_rate(["a b c d"], ["a x c"])
     assert m["substitutions"] == 1 and m["deletions"] == 1
     assert m["wer"] == pytest.approx(0.5)
+
+
+def test_bf16_session_runs():
+    """dtype='bfloat16' casts matmul weights; the session still decodes."""
+    cfg = tiny_config()
+    model = ASRModel.random_init(cfg, seed=9)
+    s2t = Speech2TextStreaming(model=model, beam_size=2, dtype="bfloat16")
+    results = s2t.recognize(synth_audio(1.0, seed=9))
+    assert isinstance(results, list)
