@@ -101,6 +101,12 @@ def main():
     beam = 5 if on_accelerator else 2
 
     start = time.time()
+    # Second BASELINE target: single-stream p50 chunk latency (< 100 ms).
+    try:
+        single_p50 = measure(model, 1, beam)
+        print(f"# S=1: p50 tick {single_p50*1000:.1f} ms", file=sys.stderr)
+    except Exception:
+        single_p50 = None
     best_s = 0
     best_p50 = None
     results = []
@@ -127,6 +133,7 @@ def main():
         "unit": "streams",
         "vs_baseline": round(best_s / 8.0, 2),
         "p50_tick_ms": round((best_p50 or 0.0) * 1e3, 1),
+        "single_stream_p50_ms": round((single_p50 or 0.0) * 1e3, 1),
         "chunk_ms": CHUNK_SEC * 1e3,
         "platform": platform,
         "ladder": [
