@@ -46,7 +46,6 @@ from speechcatcher_tpu.models.decoder import (
     extend_memory_cache,
     init_decoder_cache,
     init_memory_cache,
-    reorder_cache,
 )
 from speechcatcher_tpu.models.encoder import EncoderState, StreamingEncoder
 

@@ -46,12 +46,7 @@ from speechcatcher_tpu.decode.beam_search import (
     decode_block_device,
     init_beam_arrays,
 )
-from speechcatcher_tpu.decode.ctc_prefix import (
-    CTCScorerState,
-    ctc_extend,
-    ctc_refill_blank,
-    init_ctc_state,
-)
+from speechcatcher_tpu.decode.ctc_prefix import CTCScorerState, ctc_extend
 from speechcatcher_tpu.models.asr_model import ASRModel
 from speechcatcher_tpu.models.ctc import ctc_log_softmax
 from speechcatcher_tpu.models.decoder import (
@@ -65,9 +60,8 @@ from speechcatcher_tpu.models.encoder import (
     apply_layers_infer,
     block_attention_mask,
     conv2d_subsample,
-    conv_output_feat_dim,
 )
-from speechcatcher_tpu.ops.layers import add_positional_encoding, layer_norm
+from speechcatcher_tpu.ops.layers import layer_norm
 from speechcatcher_tpu.ops.frontend import frame_signal
 
 

@@ -25,7 +25,6 @@ import asyncio
 import json
 import logging
 import subprocess
-import time
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
 
@@ -62,6 +61,37 @@ class Session:
 
     def stage_pcm16(self, data: bytes):
         self.staged.write_pcm16(data)
+
+    # -- compressed input (webm/mp3/ogg/...) via a per-session ffmpeg
+    #    pipeline, like the reference (speechcatcher_server.py:99-202) -----
+    def start_ffmpeg(self, audio_format: str, out_rate: int):
+        import threading
+
+        cmd = [
+            "ffmpeg", "-loglevel", "error",
+            "-f", audio_format, "-i", "pipe:0",
+            "-f", "s16le", "-acodec", "pcm_s16le", "-ac", "1",
+            "-ar", str(out_rate), "pipe:1",
+        ]
+        self.ffmpeg = subprocess.Popen(
+            cmd, stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL, bufsize=10**7,
+        )
+
+        def drain():
+            try:
+                for chunk in iter(lambda: self.ffmpeg.stdout.read(4096), b""):
+                    if chunk:
+                        self.stage_pcm16(chunk)
+            except Exception:
+                pass
+
+        self._drain_thread = threading.Thread(target=drain, daemon=True)
+        self._drain_thread.start()
+
+    def feed_compressed(self, data: bytes):
+        self.ffmpeg.stdin.write(data)
+        self.ffmpeg.stdin.flush()
 
 
 class SessionManager:
@@ -231,7 +261,8 @@ async def _batcher(manager: SessionManager, tick_interval: float):
 
 
 async def recognize_ws(connection, manager: SessionManager,
-                       vosk_output_format: bool = True):
+                       vosk_output_format: bool = True,
+                       audio_format: str = "s16le"):
     sid = manager.open_session()
     if sid is None:
         await connection.send("Server busy, please try again later.")
@@ -239,6 +270,16 @@ async def recognize_ws(connection, manager: SessionManager,
         return
     sess = manager.sessions[sid]
     sess.outbox = asyncio.Queue()
+    if audio_format not in ("s16le", "pcm"):
+        from speechcatcher_tpu.utils.audio import have_ffmpeg
+
+        if have_ffmpeg():
+            sess.start_ffmpeg(audio_format, manager.cfg.sample_rate)
+        else:
+            logger.warning(
+                "format %s requested but ffmpeg is unavailable; expecting "
+                "s16le PCM", audio_format,
+            )
 
     async def sender():
         while True:
@@ -261,7 +302,9 @@ async def recognize_ws(connection, manager: SessionManager,
                     )
                     await connection.send(json.dumps({"partial": ""}))
             else:
-                if sess.sample_rate != manager.cfg.sample_rate:
+                if sess.ffmpeg is not None:
+                    await asyncio.to_thread(sess.feed_compressed, message)
+                elif sess.sample_rate != manager.cfg.sample_rate:
                     pcm = np.frombuffer(message, dtype=np.int16)
                     from speechcatcher_tpu.utils.audio import resample_int16
 
@@ -281,13 +324,14 @@ async def recognize_ws(connection, manager: SessionManager,
 
 
 async def start_server(host: str, port: int, manager: SessionManager,
-                       tick_interval: float = 0.02):
+                       tick_interval: float = 0.02,
+                       audio_format: str = "s16le"):
     import websockets
 
     batch_task = asyncio.create_task(_batcher(manager, tick_interval))
 
     async def handler(connection):
-        await recognize_ws(connection, manager)
+        await recognize_ws(connection, manager, audio_format=audio_format)
 
     async with websockets.serve(handler, host, port):
         await asyncio.Future()
@@ -312,6 +356,9 @@ def main():
     parser.add_argument("--pool-size", type=int, default=64,
                         help="Concurrent stream slots (one model copy; the "
                         "reference preloads this many replicas)")
+    parser.add_argument("--format", type=str, default="s16le",
+                        choices=["s16le", "wav", "mp3", "mp4", "webm", "ogg"],
+                        help="Input stream format (non-PCM needs ffmpeg)")
     parser.add_argument("--dp", type=int, default=1,
                         help="Shard stream slots over this many chips "
                         "(pure data parallelism over ICI)")
@@ -338,7 +385,8 @@ def main():
     )
     print(f"Serving {args.pool_size} concurrent streams on "
           f"ws://{args.host}:{args.port}")
-    asyncio.run(start_server(args.host, args.port, manager))
+    asyncio.run(start_server(args.host, args.port, manager,
+                             audio_format=args.format))
 
 
 if __name__ == "__main__":

@@ -21,7 +21,6 @@ from typing import Dict, List, Optional, Tuple, Union
 import jax.numpy as jnp
 import numpy as np
 
-from speechcatcher_tpu.config import ModelConfig
 from speechcatcher_tpu.decode.beam_search import BlockwiseSynchronousBeamSearch
 from speechcatcher_tpu.models.asr_model import ASRModel
 
