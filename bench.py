@@ -90,7 +90,7 @@ def main():
         cfg = tiny_config()
         ladder = [2]
     else:
-        ladder = [128, 144, 160]
+        ladder = [128, 144, 160, 176]
 
     model = ASRModel.random_init(cfg, seed=0)
     if on_accelerator:

@@ -414,6 +414,10 @@ def _fused_encode(
     jax.jit,
     static_argnames=("cfg", "beam", "pre_beam", "ctc_weight", "use_bbd",
                      "max_length", "l_bound", "t_bound", "extcap", "penalty"),
+    # Donate the beam/scorer state and cross-KV cache: the caller replaces
+    # both references right after the call, and in-place updates halve the
+    # transient HBM peak of the per-block rebuild.
+    donate_argnames=("mem_cache", "state"),
 )
 def _fused_round(
     params,
