@@ -1,0 +1,86 @@
+"""Variant coverage: conv2d6/conv2d8 subsampling parity and beam_size=1."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from speechcatcher_tpu.config import tiny_config
+from speechcatcher_tpu.models.asr_model import ASRModel
+from speechcatcher_tpu.models.encoder import conv2d_subsample, subsampled_len
+from speechcatcher_tpu.streaming import Speech2TextStreaming
+
+torch = pytest.importorskip("torch")
+pytest.importorskip("speechcatcher")
+
+
+@pytest.mark.parametrize("input_layer,kernels,strides", [
+    ("conv2d6", [3, 5], [2, 3]),
+    ("conv2d8", [3, 3, 3], [2, 2, 2]),
+])
+def test_subsampling_variants_parity(input_layer, kernels, strides):
+    from speechcatcher.model.encoder.subsampling import Conv2dSubsampling
+
+    torch.manual_seed(0)
+    d, feat = 16, 20
+    ref = Conv2dSubsampling(feat, d, kernels=kernels, strides=strides)
+    ref.eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    n_convs = len(kernels)
+    params = {
+        "convs": [
+            {
+                "weight": jnp.asarray(sd[f"conv.{2*i}.weight"]),
+                "bias": jnp.asarray(sd[f"conv.{2*i}.bias"]),
+            }
+            for i in range(n_convs)
+        ],
+        "out": {
+            "weight": jnp.asarray(sd["out.weight"]),
+            "bias": jnp.asarray(sd["out.bias"]),
+        },
+    }
+    rng = np.random.RandomState(1)
+    x = rng.randn(2, 50, feat).astype(np.float32)
+    with torch.no_grad():
+        ref_out, _ = ref(torch.from_numpy(x), None)
+    ours = np.asarray(conv2d_subsample(params, jnp.asarray(x), input_layer))
+    assert ours.shape == tuple(ref_out.shape)
+    assert ours.shape[1] == subsampled_len(50, input_layer)
+    np.testing.assert_allclose(ours, ref_out.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_beam_size_one_session():
+    """Greedy-ish decoding (beam=1) must run through the whole stack."""
+    model = ASRModel.random_init(tiny_config(), seed=11)
+    s2t = Speech2TextStreaming(model=model, beam_size=1)
+    rng = np.random.RandomState(11)
+    audio = (0.2 * np.sin(2 * np.pi * 300 * np.arange(24000) / 16000)
+             + 0.05 * rng.randn(24000)).astype(np.float32)
+    res = []
+    for i in range(3):
+        res = s2t(audio[i * 8192 : (i + 1) * 8192], is_final=(i == 2))
+    assert isinstance(res, list)
+
+
+def test_beam_size_one_engine_matches_single():
+    from speechcatcher_tpu.serve.engine import StreamingEngine
+    from test_engine import final_to_ids, synth_audio
+
+    model = ASRModel.random_init(tiny_config(), seed=12)
+    chunk = 8192
+    audio = synth_audio(2 * chunk / 16000 + 0.01, seed=12)
+
+    s2t = Speech2TextStreaming(model=model, beam_size=1)
+    res = []
+    for i in range(2):
+        res = s2t(audio[i * chunk : (i + 1) * chunk], is_final=(i == 1))
+    assert res
+    golden = (res[0][2], res[0][3])
+
+    engine = StreamingEngine(model, n_slots=2, beam_size=1,
+                             chunk_samples=chunk)
+    s = engine.acquire_slot()
+    engine.tick({s: audio[:chunk]})
+    f = engine.finalize(s, audio[chunk : 2 * chunk])
+    assert tuple(final_to_ids(model, f[0], f[1])) == tuple(golden)
