@@ -90,7 +90,9 @@ def main():
         cfg = tiny_config()
         ladder = [2]
     else:
-        ladder = [128, 144, 160, 176]
+        # Descending: the first rung that holds real time is the result, so
+        # a cold-cache run spends its budget on the best candidate first.
+        ladder = [176, 160, 144, 128]
 
     model = ASRModel.random_init(cfg, seed=0)
     if on_accelerator:
@@ -111,7 +113,7 @@ def main():
     best_p50 = None
     results = []
     for s in ladder:
-        if time.time() - start > TIME_BUDGET_S and best_s > 0:
+        if time.time() - start > TIME_BUDGET_S:
             break
         try:
             p50 = measure(model, s, beam)
@@ -121,15 +123,14 @@ def main():
                 p50 = min(p50, measure(model, s, beam))
         except Exception as e:  # OOM or compile failure at this scale
             print(f"# S={s} failed: {type(e).__name__}: {e}", file=sys.stderr)
-            break
+            continue
         rtf = p50 / CHUNK_SEC
         results.append((s, p50, rtf))
         print(f"# S={s}: p50 tick {p50*1000:.1f} ms (RTF {rtf:.3f})",
               file=sys.stderr)
         if p50 < CHUNK_SEC:
             best_s, best_p50 = s, p50
-        else:
-            break
+            break  # descending ladder: first passing rung is the answer
 
     out = {
         "metric": "concurrent_rt_streams_per_chip",
