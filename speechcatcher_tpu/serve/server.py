@@ -58,9 +58,30 @@ class Session:
 
         if self.staged is None:
             self.staged = StagingRing()
+        self._overflowed = False
+
+    def _check_overflow(self, written: int, requested: int):
+        """The staging ring truncates when full (e.g. engine capacity stall
+        while the client keeps streaming). Never drop silently."""
+        if written < requested:
+            if not self._overflowed:
+                logger.warning(
+                    "session slot=%s staging ring full: dropping audio "
+                    "(%d of %d samples written); transcript will be "
+                    "incomplete until the engine catches up",
+                    self.slot, written, requested,
+                )
+            self._overflowed = True
+        else:
+            self._overflowed = False
 
     def stage_pcm16(self, data: bytes):
-        self.staged.write_pcm16(data)
+        w = self.staged.write_pcm16(data)
+        self._check_overflow(w, len(data) // 2)
+
+    def stage_f32(self, x: np.ndarray):
+        w = self.staged.write_f32(x)
+        self._check_overflow(w, len(x))
 
     # -- compressed input (webm/mp3/ogg/...) via a per-session ffmpeg
     #    pipeline, like the reference (speechcatcher_server.py:99-202) -----
@@ -113,6 +134,13 @@ class SessionManager:
         self.max_partial_iters = max_partial_iters
         self.sessions: Dict[int, Session] = {}
         self._next_id = 0
+        # Engine state (slot counters, donated device arrays) is mutated by
+        # tick() on a worker thread AND by session open/close on the event
+        # loop — serialize every engine-state mutation on one lock, or two
+        # threads can acquire the same slot / touch a donated buffer.
+        import threading
+
+        self._lock = threading.RLock()
         self.frame_sec = (
             self.cfg.hop_length * self.cfg.subsample / self.cfg.sample_rate
         )
@@ -124,43 +152,59 @@ class SessionManager:
 
     # -- session lifecycle -------------------------------------------------
     def open_session(self) -> Optional[int]:
-        slot = self.engine.acquire_slot()
-        if slot is None:
-            return None  # server busy (reference :364-368)
-        sid = self._next_id
-        self._next_id += 1
-        self.sessions[sid] = Session(slot=slot)
-        return sid
+        with self._lock:
+            slot = self.engine.acquire_slot()
+            if slot is None:
+                return None  # server busy (reference :364-368)
+            sid = self._next_id
+            self._next_id += 1
+            self.sessions[sid] = Session(slot=slot)
+            return sid
 
     def close_session(self, sid: int):
-        sess = self.sessions.pop(sid, None)
+        with self._lock:
+            sess = self.sessions.pop(sid, None)
         if sess is not None:
-            self.engine.release_slot(sess.slot)
+            if sess.slot is not None:
+                with self._lock:
+                    self.engine.release_slot(sess.slot)
+                sess.slot = None
             if sess.ffmpeg is not None:
                 sess.ffmpeg.terminate()
 
     # -- data path ----------------------------------------------------------
     def feed(self, sid: int, data: bytes):
-        self.sessions[sid].stage_pcm16(data)
+        sess = self.sessions.get(sid)
+        if sess is not None and not sess.closed:
+            sess.stage_pcm16(data)
 
     def request_final(self, sid: int):
-        self.sessions[sid].pending_final = True
+        sess = self.sessions.get(sid)
+        if sess is not None:
+            sess.pending_final = True
 
     def ready(self) -> bool:
         return any(
             s.staged.available() >= self.chunk or s.pending_final
-            for s in self.sessions.values()
+            for s in list(self.sessions.values())
+            if not s.closed
         )
 
     def tick(self) -> Dict[int, dict]:
         """One engine tick over all sessions with a full chunk staged, then
         finalization for sessions with a pending final. Returns
         sid → Vosk-style message."""
+        with self._lock:
+            return self._tick_locked()
+
+    def _tick_locked(self) -> Dict[int, dict]:
         out: Dict[int, dict] = {}
 
         batch: Dict[int, np.ndarray] = {}
         sid_by_slot: Dict[int, int] = {}
         for sid, sess in self.sessions.items():
+            if sess.closed or sess.slot is None:
+                continue
             if sess.staged.available() >= self.chunk and not sess.pending_final:
                 batch[sess.slot] = sess.staged.read(self.chunk)
                 sid_by_slot[sess.slot] = sid
@@ -186,7 +230,7 @@ class SessionManager:
                 out[sid] = {"partial": text}
 
         for sid, sess in list(self.sessions.items()):
-            if sess.pending_final:
+            if sess.pending_final and not sess.closed and sess.slot is not None:
                 # A failing session must not take the batcher (and every
                 # other live session) down with it (SURVEY §5.3: the
                 # isolation requirement) — quarantine and close instead.
@@ -230,7 +274,11 @@ class SessionManager:
         sess.partial_iters = 0
         slot = self.engine.acquire_slot()
         if slot is None:
+            # No capacity to re-arm: the session is done. Null the slot so
+            # close_session cannot release a slot the session no longer
+            # owns, and tick()/feed() skip it from now on.
             sess.closed = True
+            sess.slot = None
         else:
             sess.slot = slot
         return {"result": words, "text": text}
@@ -251,6 +299,10 @@ async def _batcher(manager: SessionManager, tick_interval: float):
                     sess = manager.sessions.get(sid)
                     if sess is not None and sess.outbox is not None:
                         await sess.outbox.put(json.dumps(msg))
+                        if sess.closed:
+                            # Final delivered but no slot left to re-arm:
+                            # tell the sender to close the connection.
+                            await sess.outbox.put(None)
             else:
                 await asyncio.sleep(tick_interval)
         except asyncio.CancelledError:
@@ -284,6 +336,9 @@ async def recognize_ws(connection, manager: SessionManager,
     async def sender():
         while True:
             msg = await sess.outbox.get()
+            if msg is None:
+                await connection.close()
+                return
             await connection.send(msg)
 
     send_task = asyncio.create_task(sender())
@@ -311,9 +366,7 @@ async def recognize_ws(connection, manager: SessionManager,
                     pcm = resample_int16(
                         pcm, sess.sample_rate, manager.cfg.sample_rate
                     )
-                    sess.staged.write_f32(
-                        pcm.astype(np.float32) / 32767.0
-                    )
+                    sess.stage_f32(pcm.astype(np.float32) / 32767.0)
                 else:
                     manager.feed(sid, message)
     except Exception:

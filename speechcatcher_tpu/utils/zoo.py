@@ -63,7 +63,19 @@ def _unpack(archive: Path, dest: Path) -> Path:
                 z.extractall(dest)
         elif tarfile.is_tarfile(archive):
             with tarfile.open(archive) as t:
-                t.extractall(dest)
+                try:
+                    # Guard against tar-slip (../ or absolute members) in
+                    # archives fetched from URLs/HF repos.
+                    t.extractall(dest, filter="data")
+                except TypeError:  # Python without the filter= argument
+                    base = dest.resolve()
+                    for m in t.getmembers():
+                        target = (dest / m.name).resolve()
+                        if not str(target).startswith(str(base)):
+                            raise ValueError(
+                                f"unsafe tar member path: {m.name}"
+                            )
+                    t.extractall(dest)
         else:
             raise ValueError(f"Unknown archive format: {archive}")
         marker.touch()
