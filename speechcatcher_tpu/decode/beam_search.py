@@ -580,6 +580,21 @@ class BlockwiseSynchronousBeamSearch:
         st = self.state
         if cur_end <= st.vis_len:
             return
+        if cur_end > self.cfg.max_enc_frames:
+            # The CTC forward variables and cross-attention KV cache have
+            # max_enc_frames capacity; writing past it would silently
+            # overwrite the last column and corrupt every later score.
+            # Callers must segment long audio (recognize() splits energy
+            # segments below this bound; the batched engine stalls+
+            # finalizes instead).
+            frame_sec = (self.cfg.hop_length * self.cfg.subsample
+                         / self.cfg.sample_rate)
+            raise RuntimeError(
+                f"utterance too long for decode state: {cur_end} encoder "
+                f"frames > capacity {self.cfg.max_enc_frames} "
+                f"(~{self.cfg.max_enc_frames * frame_sec:.0f} s). Split the "
+                "audio into shorter segments or raise cfg.max_enc_frames."
+            )
         new_frames = st.enc_buf[:, st.vis_len : cur_end, :]
         new_logp = ctc_log_softmax(self.model.params["ctc"], new_frames)
         arrays = st.arrays

@@ -110,6 +110,82 @@ def _decode_segment(
     return text, tokens, [p * frame_sec for p in token_pos]
 
 
+def _split_overlong_spans(
+    spans: List[Tuple[float, float]], max_segment_sec: float
+) -> List[Tuple[float, float]]:
+    """Split any span longer than the decode-state capacity into equal
+    sub-spans below the bound. The CTC forward variables and cross-attention
+    caches hold cfg.max_enc_frames encoder frames; past that the decode
+    state would overflow (decode/beam_search.py raises)."""
+    out: List[Tuple[float, float]] = []
+    for s0, s1 in spans:
+        n = max(1, math.ceil((s1 - s0) / max_segment_sec))
+        step = (s1 - s0) / n
+        out.extend((s0 + i * step, s0 + (i + 1) * step) for i in range(n))
+    return out
+
+
+def _decode_segments_batched(
+    s2t: Speech2TextStreaming,
+    speech: np.ndarray,
+    spans_samples: List[Tuple[int, int]],
+    chunk_length: int,
+    n_streams: int,
+    progress_cb=None,
+) -> List[Tuple[str, List[str], List[int]]]:
+    """Decode a file's segments concurrently as streams of one batched
+    engine (SURVEY §2.8: the reference forks one OS process per segment,
+    speechcatcher.py:481-497; here segments share one weight copy and one
+    chip). Output is identical to the serial path: the engine is lockstep-
+    equivalent to independent sessions and finals go through the same
+    single-stream finalizer + assembly."""
+    from speechcatcher_tpu.serve.engine import StreamingEngine
+    from speechcatcher_tpu.streaming import assemble_hypothesis
+
+    engine = StreamingEngine(
+        s2t.model,
+        n_slots=min(n_streams, len(spans_samples)),
+        beam_size=s2t.beam_size,
+        ctc_weight=s2t.ctc_weight,
+        use_bbd=s2t.use_bbd,
+        chunk_samples=chunk_length,
+    )
+    results: List = [None] * len(spans_samples)
+    pending = list(enumerate(spans_samples))[::-1]  # pop() from the front
+    active: dict = {}  # slot -> [idx, pos, end]
+    while pending or active:
+        while pending:
+            slot = engine.acquire_slot()
+            if slot is None:
+                break
+            idx, (s0, s1) = pending.pop()
+            active[slot] = [idx, s0, s1]
+        batch = {}
+        final_slots = []
+        for slot, (idx, pos, end) in active.items():
+            # Mirror the serial driver: the last chunk (remaining <=
+            # chunk_length) goes through finalize.
+            if end - pos > chunk_length:
+                batch[slot] = speech[pos : pos + chunk_length]
+                active[slot][1] = pos + chunk_length
+            else:
+                final_slots.append(slot)
+        if batch:
+            engine.tick(batch)
+        for slot in final_slots:
+            idx, pos, end = active.pop(slot)
+            yseq, xpos, _score = engine.finalize(slot, speech[pos:end])
+            res = assemble_hypothesis(
+                s2t.cfg, s2t.tokenizer, yseq, xpos, is_final=True
+            )
+            results[idx] = (
+                (res[0][0], res[0][1], res[0][3]) if res else ("", [], [])
+            )
+            if progress_cb is not None:
+                progress_cb()
+    return results
+
+
 def recognize(
     s2t: Speech2TextStreaming,
     raw_speech_data: np.ndarray,
@@ -122,7 +198,9 @@ def recognize(
     decoder_impl: str = "tpu",
 ):
     """Transcribe int16 PCM → (complete_text, auxiliary_info)
-    (reference speechcatcher.py:414-570)."""
+    (reference speechcatcher.py:414-570). num_processes > 1 decodes the
+    energy segments concurrently as streams of one batched engine
+    (num_processes = -1: auto); 1 decodes serially."""
     assert rate == 16000
     speech = raw_speech_data.astype(np.float32) / 32767.0
     total_sec = len(speech) / rate
@@ -140,27 +218,55 @@ def recognize(
     boundaries_sec.append(total_sec)
     spans = list(zip(boundaries_sec[:-1], boundaries_sec[1:]))
 
+    # Decode-state capacity bound: never hand one segment more audio than
+    # max_enc_frames can hold (with 10% margin for look-ahead staging).
+    frame_sec = s2t.cfg.hop_length * s2t.cfg.subsample / s2t.cfg.sample_rate
+    max_segment_sec = 0.9 * s2t.cfg.max_enc_frames * frame_sec
+    spans = _split_overlong_spans(spans, max_segment_sec)
+
+    if num_processes == -1:
+        num_processes = min(8, len(spans))
+
     paragraphs: List[Tuple[str, List[str], List[float]]] = []
-    it = spans
+    bar = None
     if progress and not quiet:
         try:
             from tqdm import tqdm
 
-            it = tqdm(spans, desc="Transcribing")
+            bar = tqdm(total=len(spans), desc="Transcribing")
         except ImportError:
             pass
-    for seg_start, seg_end in it:
-        text, toks, ts = _decode_segment(
-            s2t,
-            speech,
-            int(seg_start * rate),
-            int(seg_end * rate),
-            chunk_length,
+
+    if num_processes > 1 and len(spans) > 1:
+        spans_samples = [
+            (int(s0 * rate), int(s1 * rate)) for s0, s1 in spans
+        ]
+        seg_results = _decode_segments_batched(
+            s2t, speech, spans_samples, chunk_length, num_processes,
+            progress_cb=(bar.update if bar is not None else None),
         )
-        paragraphs.append((text, toks, [seg_start + t for t in ts]))
-        if status is not None:
-            pct = 100.0 * seg_end / total_sec
-            status.publish_status(f"Decoding progress: {pct:.2f}%")
+        for (seg_start, _seg_end), (text, toks, pos) in zip(
+            spans, seg_results
+        ):
+            ts = [seg_start + p * frame_sec for p in pos]
+            paragraphs.append((text, toks, ts))
+    else:
+        for seg_start, seg_end in spans:
+            text, toks, ts = _decode_segment(
+                s2t,
+                speech,
+                int(seg_start * rate),
+                int(seg_end * rate),
+                chunk_length,
+            )
+            paragraphs.append((text, toks, [seg_start + t for t in ts]))
+            if bar is not None:
+                bar.update()
+            if status is not None:
+                pct = 100.0 * seg_end / total_sec
+                status.publish_status(f"Decoding progress: {pct:.2f}%")
+    if bar is not None:
+        bar.close()
 
     # Paragraph merging (reference :519-568): only split where the model
     # also ended a sentence.
@@ -196,17 +302,17 @@ def recognize_file(
     output_file: str = "",
     quiet: bool = True,
     progress: bool = True,
-    num_processes: int = 1,
+    num_processes: int = -1,
     chunk_length: int = 8192,
     decoder_impl: str = "tpu",
     show_ffmpeg_output: bool = False,
 ) -> dict:
     """Decode a media file; write <name>.txt and <name>.json
     (reference speechcatcher.py:358-402)."""
-    data, rate = convert_media(Path(media_path), show_output=show_ffmpeg_output)
+    data, rate = convert_media(media_path, show_output=show_ffmpeg_output)
     complete_text, aux = recognize(
         s2t, data, rate, chunk_length=chunk_length, progress=progress,
-        quiet=quiet,
+        quiet=quiet, num_processes=num_processes,
     )
 
     if output_file == "":
@@ -319,8 +425,11 @@ def main():
     parser.add_argument("--cache-dir", dest="cache_dir",
                         default="~/.cache/speechcatcher_tpu")
     parser.add_argument("-n", "--num-processes", dest="num_processes",
-                        type=int, default=1,
-                        help="Compatibility flag; segments batch on-device")
+                        type=int, default=-1,
+                        help="Concurrent segment streams on the batched "
+                        "engine (-1 = auto, 1 = serial). The reference "
+                        "forks this many OS processes; here segments "
+                        "share one weight copy on one chip.")
     parser.add_argument("--chunk-length", dest="chunk_length", type=int,
                         default=8192)
     parser.add_argument("--log-level", dest="log_level", default="ERROR",
@@ -365,6 +474,7 @@ def main():
         recognize_file(
             s2t, args.inputfile, quiet=args.quiet,
             progress=not args.no_progress, chunk_length=args.chunk_length,
+            num_processes=args.num_processes,
             show_ffmpeg_output=args.show_ffmpeg_output,
         )
     else:

@@ -27,6 +27,36 @@ from speechcatcher_tpu.models.asr_model import ASRModel
 Result = Tuple[str, List[str], List[int], List[int]]
 
 
+def assemble_hypothesis(cfg, tokenizer, yseq, xpos, is_final: bool
+                        ) -> List[Result]:
+    """Best-hypothesis output assembly (assemble_hyps semantics: strip SOS +
+    trailing EOS or unstable last token, drop blanks, detokenize). Shared by
+    the single-stream session and the batched engine so file/segment decode
+    produces byte-identical text either way."""
+    if len(yseq) <= 1:
+        return []
+    if is_final:
+        token_ids = yseq[1:]
+        pos = xpos[1:]
+        if len(token_ids) > 0 and token_ids[-1] == cfg.eos_id:
+            token_ids = token_ids[:-1]
+            pos = pos[:-1]
+    else:
+        # Streaming partial: drop the last (unstable) token like the
+        # espnet assemble path (yseq[1:-1]).
+        token_ids = yseq[1:-1]
+        pos = xpos[1:-1]
+
+    # Strip <blank>, <unk>, <sos/eos> (reference :513-518).
+    drop = {cfg.blank_id, tokenizer.unk_id, cfg.eos_id}
+    keep = [i for i, tid in enumerate(token_ids) if int(tid) not in drop]
+    token_ids = [int(token_ids[i]) for i in keep]
+    token_pos = [int(pos[i]) for i in keep]
+    tokens = tokenizer.ids_to_tokens(token_ids)
+    text = "".join(tokens).replace("▁", " ").strip()
+    return [(text, tokens, token_ids, token_pos)]
+
+
 class Speech2TextStreaming:
     """Streaming recognition session over one model.
 
@@ -195,26 +225,8 @@ class Speech2TextStreaming:
             return []
         if is_final and not finalize_all and int(yseq[-1]) != self.cfg.eos_id:
             return []
-        if is_final:
-            token_ids = yseq[1:]
-            pos = xpos[1:]
-            if len(token_ids) > 0 and token_ids[-1] == self.cfg.eos_id:
-                token_ids = token_ids[:-1]
-                pos = pos[:-1]
-        else:
-            # Streaming partial: drop the last (unstable) token like the
-            # espnet assemble path (yseq[1:-1]).
-            token_ids = yseq[1:-1]
-            pos = xpos[1:-1]
-
-        # Strip <blank>, <unk>, <sos/eos> (reference :513-518).
-        drop = {self.cfg.blank_id, self.tokenizer.unk_id, self.cfg.eos_id}
-        keep = [i for i, tid in enumerate(token_ids) if int(tid) not in drop]
-        token_ids = [int(token_ids[i]) for i in keep]
-        token_pos = [int(pos[i]) for i in keep]
-        tokens = self.tokenizer.ids_to_tokens(token_ids)
-        text = "".join(tokens).replace("▁", " ").strip()
-        return [(text, tokens, token_ids, token_pos)]
+        return assemble_hypothesis(self.cfg, self.tokenizer, yseq, xpos,
+                                   is_final=is_final)
 
     # ------------------------------------------------------------------
     def recognize(self, speech) -> List[Result]:

@@ -64,16 +64,20 @@ def resample_int16(data: np.ndarray, rate: int,
     return np.clip(out, -32768, 32767).astype(np.int16)
 
 
-def convert_media(path: Path, show_output: bool = False) -> Tuple[np.ndarray, int]:
-    """Any media file → (16 kHz mono int16, 16000).
+def convert_media(path, show_output: bool = False) -> Tuple[np.ndarray, int]:
+    """Any media file or URL → (16 kHz mono int16, 16000).
 
     Uses ffmpeg when present (any container/codec); otherwise falls back to
     stdlib WAV + scipy resampling.
     """
-    path = Path(path)
+    # URLs must reach ffmpeg verbatim (reference speechcatcher.py:244-254);
+    # Path() would collapse "https://" into "https:/".
+    src = str(path)
+    is_url = src.startswith(("http://", "https://"))
+    path = Path(src) if not is_url else None
     if have_ffmpeg():
         cmd = [
-            "ffmpeg", "-i", str(path), "-f", "s16le", "-acodec", "pcm_s16le",
+            "ffmpeg", "-i", src, "-f", "s16le", "-acodec", "pcm_s16le",
             "-ac", "1", "-ar", str(TARGET_RATE), "pipe:1",
         ]
         proc = subprocess.run(
@@ -83,6 +87,11 @@ def convert_media(path: Path, show_output: bool = False) -> Tuple[np.ndarray, in
             check=True,
         )
         return np.frombuffer(proc.stdout, dtype=np.int16), TARGET_RATE
+    if is_url:
+        raise RuntimeError(
+            "ffmpeg not found; cannot stream from a URL — download the file "
+            "first or install ffmpeg"
+        )
     if path.suffix.lower() != ".wav":
         raise RuntimeError(
             f"ffmpeg not found; cannot decode {path.suffix} — provide a 16 kHz"

@@ -66,3 +66,82 @@ def test_recognize_long_audio_segments(tmp_path):
     assert len(aux) >= 1
     assert aux[0]["start"] == 0.0
     assert aux[-1]["end"] > 60.0
+
+def test_overlong_utterance_raises_loudly():
+    """Past max_enc_frames the single-stream decode must fail loudly, never
+    silently clip (the capacity clip corrupted CTC/cross-attn context)."""
+    import pytest
+
+    cfg = tiny_config(max_enc_frames=40)
+    model = ASRModel.random_init(cfg, seed=8)
+    s2t = Speech2TextStreaming(model=model, beam_size=2)
+    rng = np.random.RandomState(3)
+    audio = (rng.randn(16000 * 30)).astype(np.float32) * 0.1
+    with pytest.raises(RuntimeError, match="too long"):
+        s2t.recognize(audio)
+
+
+def test_long_segment_splits_and_decodes():
+    """A segment longer than the decode-state capacity is split below the
+    bound and decodes to the same text as pre-split halves."""
+    from speechcatcher_tpu.recognize import _split_overlong_spans
+
+    cfg = tiny_config(max_enc_frames=128)  # ~20s capacity at 160ms/frame? no:
+    # frame = hop*subsample/rate = 160*4/16000 = 40ms -> 128 frames = 5.12s
+    model = ASRModel.random_init(cfg, seed=8)
+    s2t = Speech2TextStreaming(model=model, beam_size=2)
+
+    rate = 16000
+    rng = np.random.RandomState(5)
+    t = np.arange(12 * rate) / rate
+    x = 0.4 * np.sin(2 * np.pi * 250 * t) + 0.05 * rng.randn(len(t))
+    pcm = (np.clip(x, -1, 1) * 30000).astype(np.int16)
+
+    # 12 s > 0.9*128*0.04 = 4.6 s: must split (into 3 sub-spans) and decode
+    # without tripping the overflow guard.
+    spans = _split_overlong_spans([(0.0, 12.0)], 0.9 * 128 * 0.04)
+    assert len(spans) == 3
+    assert all(s1 - s0 <= 0.9 * 128 * 0.04 + 1e-9 for s0, s1 in spans)
+    text, aux = recognize(s2t, pcm, rate, progress=False, quiet=True,
+                          num_processes=1)
+    assert isinstance(text, str)
+
+    # The same audio decoded segment-by-segment (pre-split at the same
+    # boundaries, same chunked driver) matches.
+    from speechcatcher_tpu.recognize import _decode_segment
+
+    speech = pcm.astype(np.float32) / 32767.0
+    parts = []
+    for s0, s1 in spans:
+        txt, _toks, _ts = _decode_segment(
+            s2t, speech, int(s0 * rate), int(s1 * rate), 8192
+        )
+        parts.append(txt)
+    # recognize() merges paragraphs by sentence completion and capitalizes
+    # paragraph starts; compare whitespace/case-normalized content.
+    def norm(s):
+        return "".join(s.lower().split())
+
+    assert norm("".join(parts)) == norm(text)
+
+
+def test_batched_segments_match_serial():
+    """num_processes>1 routes segments through the batched engine; the
+    output must be byte-identical to the serial path."""
+    rate = 16000
+    rng = np.random.RandomState(7)
+    t = np.arange(70 * rate) / rate
+    x = 0.4 * np.sin(2 * np.pi * 250 * t) + 0.05 * rng.randn(len(t))
+    pcm = (np.clip(x, -1, 1) * 25000).astype(np.int16)
+    pcm[20 * rate : 21 * rate] = 0
+    pcm[45 * rate : 46 * rate] = 0
+
+    s2t = make_s2t()
+    text_serial, aux_serial = recognize(
+        s2t, pcm, rate, progress=False, quiet=True, num_processes=1
+    )
+    text_batch, aux_batch = recognize(
+        s2t, pcm, rate, progress=False, quiet=True, num_processes=4
+    )
+    assert text_batch == text_serial
+    assert json.dumps(aux_batch) == json.dumps(aux_serial)
