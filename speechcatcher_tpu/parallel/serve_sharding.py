@@ -47,16 +47,24 @@ def _shard_arrays(a: BeamArrays, mesh: Mesh) -> BeamArrays:
 
 
 def shard_engine(engine: StreamingEngine, mesh: Mesh) -> StreamingEngine:
-    """Place all engine state on the mesh (slot axis over "dp", weights
-    replicated). n_slots must divide the dp size. Host bookkeeping is
-    unchanged — ticks dispatch the same programs, now SPMD-partitioned."""
+    """Place all engine state on the mesh (slot axis over "dp"; weights
+    replicated for pure dp, tensor-parallel over "tp" when the mesh has a
+    tp axis > 1 — column/row-parallel rules from parallel.mesh). n_slots
+    must divide the dp size. Host bookkeeping is unchanged — ticks dispatch
+    the same programs, now SPMD-partitioned."""
     dp = mesh.shape["dp"]
     assert engine.S % dp == 0, (engine.S, dp)
+    tp = mesh.shape.get("tp", 1)
 
     rep = P()
-    engine.model.params = jax.tree.map(
-        lambda x: _put(x, mesh, rep), engine.model.params
-    )
+    if tp > 1:
+        from speechcatcher_tpu.parallel.mesh import shard_params
+
+        engine.model.params = shard_params(engine.model.params, mesh)
+    else:
+        engine.model.params = jax.tree.map(
+            lambda x: _put(x, mesh, rep), engine.model.params
+        )
     engine.model.enc_pe = _put(engine.model.enc_pe, mesh, rep)
     engine.model.dec_pe = _put(engine.model.dec_pe, mesh, rep)
     fe = engine.model.frontend
