@@ -508,6 +508,7 @@ class BlockwiseSynchronousBeamSearch:
         pre_beam_size: Optional[int] = None,
         max_length: Optional[int] = None,
         penalty: float = 0.0,
+        coverage_weight: float = 0.0,
     ):
         self.model = model
         self.cfg = model.cfg
@@ -515,6 +516,7 @@ class BlockwiseSynchronousBeamSearch:
         self.ctc_weight = ctc_weight
         self.use_bbd = use_bbd
         self.penalty = penalty
+        self.coverage_weight = coverage_weight
         self.pre_beam = pre_beam_size or self.cfg.pre_beam_size
         self.max_length = max_length or self.cfg.max_tokens - 1
         self.encoder = StreamingEncoder(
@@ -652,12 +654,26 @@ class BlockwiseSynchronousBeamSearch:
     # ------------------------------------------------------------------
 
     def best_hypothesis(self) -> Tuple[np.ndarray, np.ndarray, float]:
-        """(token_ids, xpos, score) of the current best hypothesis."""
+        """(token_ids, xpos, score) of the current best hypothesis.
+
+        With coverage_weight set, the beam is re-ranked by score +
+        CoverageScorer (reference scorers.py:497-526 — optional there too)."""
         arrays = self.state.arrays
         ylen = int(arrays.ylen[0])
-        yseq = np.asarray(arrays.yseq[0, 0, :ylen])
-        xpos = np.asarray(arrays.xpos[0, 0, :ylen])
-        return yseq, xpos, float(arrays.score[0, 0])
+        best = 0
+        if self.coverage_weight:
+            from speechcatcher_tpu.decode.scorers import CoverageScorer
+
+            cov = CoverageScorer(self.coverage_weight)
+            scores = [
+                float(arrays.score[0, b])
+                + cov.score(np.asarray(arrays.yseq[0, b, 1:ylen]))
+                for b in range(self.beam_size)
+            ]
+            best = int(np.argmax(scores))
+        yseq = np.asarray(arrays.yseq[0, best, :ylen])
+        xpos = np.asarray(arrays.xpos[0, best, :ylen])
+        return yseq, xpos, float(arrays.score[0, best])
 
     def nbest_hypotheses(self) -> List[Tuple[np.ndarray, np.ndarray, float]]:
         arrays = self.state.arrays

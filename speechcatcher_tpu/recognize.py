@@ -332,6 +332,54 @@ def recognize_file(
     return complete
 
 
+def list_microphones():
+    """Print all input-capable audio devices
+    (reference speechcatcher.py:648-654)."""
+    try:
+        import pyaudio
+    except ImportError:
+        print("pyaudio is not installed — cannot enumerate microphones.")
+        return
+    p = pyaudio.PyAudio()
+    info = p.get_host_api_info_by_index(0)
+    for i in range(info.get("deviceCount", 0)):
+        dev = p.get_device_info_by_host_api_device_index(0, i)
+        if dev.get("maxInputChannels", 0) > 0:
+            print("Input Device id ", i, " - ", dev.get("name"))
+
+
+def _read_mic_chunk_with_advice(stream, chunksize, prev_lines,
+                                exception_on_overflow=True):
+    """stream.read with remediation advice on input overflow
+    (reference speechcatcher.py:657-678): overflow means decoding fell
+    behind real time; tell the user how to recover instead of dumping a
+    traceback."""
+    try:
+        return stream.read(chunksize,
+                           exception_on_overflow=exception_on_overflow)
+    except OSError as e:
+        if "Input overflowed" in str(e):
+            print("\n")
+            print("Input overflowed while fetching new data from your "
+                  "microphone.")
+            print("This happens when online recognition is not fast enough "
+                  "to decode speech in real time.")
+            print("---")
+            print("Solution 1: silently discard this error with the "
+                  "--no-exception-on-overflow option. This may degrade "
+                  "recognition quality, as some speech data is discarded to "
+                  "catch up with the newest microphone data.")
+            print("or")
+            print("Solution 2: reduce the beam size, e.g. -b 1. A smaller "
+                  "beam decodes faster with slightly less accuracy.")
+            print("and/or")
+            print("Solution 3: use a smaller and faster model (-m ..._m).")
+            print(prev_lines * "\n")
+        else:
+            print("An OS error occurred:", e)
+        sys.exit(-1)
+
+
 def recognize_microphone(
     s2t: Speech2TextStreaming,
     tag: str,
@@ -352,6 +400,9 @@ def recognize_microphone(
 
     from concurrent.futures import ThreadPoolExecutor
 
+    from speechcatcher_tpu.utils.term import progress_output
+
+    list_microphones()
     p = pyaudio.PyAudio()
     stream = p.open(
         format=pyaudio.paInt16, channels=1, rate=samplerate, input=True,
@@ -361,21 +412,26 @@ def recognize_microphone(
     blocks = []
     n_best_lens: List[int] = []
     results = []
-
-    def read_chunk():
-        return stream.read(
-            chunksize, exception_on_overflow=exception_on_pyaudio_overflow
-        )
+    prev_lines = 0
 
     with ThreadPoolExecutor(max_workers=1) as ex:
-        fut = ex.submit(read_chunk)
+        fut = ex.submit(
+            _read_mic_chunk_with_advice, stream, chunksize, prev_lines,
+            exception_on_pyaudio_overflow,
+        )
         for i in range(int(samplerate / chunksize * record_max_seconds) + 1):
             data = np.frombuffer(fut.result(timeout=2), dtype=np.int16)
-            fut = ex.submit(read_chunk)
+            fut = ex.submit(
+                _read_mic_chunk_with_advice, stream, chunksize, prev_lines,
+                exception_on_pyaudio_overflow,
+            )
             if save_debug_wav:
                 blocks.append(data)
             audio = data.astype(np.float32) / 32767.0
 
+            # Plateau endpointing: finalize when the partial-text length has
+            # not changed for the recent iterations (reference :713-724,
+            # including its ≥finalize_update_iters-then-[-10:] window).
             finalize = False
             if len(n_best_lens) >= finalize_update_iters:
                 if all(x == n_best_lens[-1] for x in n_best_lens[-10:]):
@@ -385,9 +441,12 @@ def recognize_microphone(
             if results:
                 text = results[0][0]
                 n_best_lens.append(len(text))
-                print("\r" + text[-120:], end="", flush=True)
+                prev_lines = progress_output(text, prev_lines)
+            else:
+                prev_lines = progress_output("", prev_lines)
             if finalize:
-                print()
+                sys.stdout.write("\n")
+                prev_lines = 0
 
     if save_debug_wav and blocks:
         from speechcatcher_tpu.utils.audio import write_wav
@@ -422,6 +481,13 @@ def main():
                         action="store_true")
     parser.add_argument("--save-debug-wav", dest="save_debug_wav",
                         action="store_true")
+    parser.add_argument("--list-microphones", dest="list_microphones",
+                        action="store_true",
+                        help="List input audio devices and exit")
+    parser.add_argument("--no-exception-on-overflow",
+                        dest="no_exception_on_overflow", action="store_true",
+                        help="Do not abort live recognition on microphone "
+                        "input overflow (discards audio to catch up)")
     parser.add_argument("--cache-dir", dest="cache_dir",
                         default="~/.cache/speechcatcher_tpu")
     parser.add_argument("-n", "--num-processes", dest="num_processes",
@@ -441,6 +507,10 @@ def main():
     args = parser.parse_args()
 
     logging.basicConfig(level=getattr(logging, args.log_level))
+
+    if args.list_microphones:
+        list_microphones()
+        sys.exit(0)
 
     if not args.model.startswith(("http://", "https://")) and not Path(
         args.model
@@ -464,6 +534,7 @@ def main():
         recognize_microphone(
             s2t, args.model, record_max_seconds=args.max_record_time,
             save_debug_wav=args.save_debug_wav,
+            exception_on_pyaudio_overflow=not args.no_exception_on_overflow,
         )
     elif args.inputfile:
         if not args.inputfile.startswith(("http://", "https://")) and not Path(

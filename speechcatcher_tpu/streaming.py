@@ -74,6 +74,8 @@ class Speech2TextStreaming:
         dtype: str = "float32",       # accepted for API compat
         use_bbd: bool = True,
         model: Optional[ASRModel] = None,
+        penalty: float = 0.0,
+        coverage_weight: float = 0.0,
     ):
         if model is None:
             if model_dir is None:
@@ -101,6 +103,8 @@ class Speech2TextStreaming:
             beam_size=beam_size,
             ctc_weight=ctc_weight,
             use_bbd=use_bbd,
+            penalty=penalty,
+            coverage_weight=coverage_weight,
         )
         self.reset()
 

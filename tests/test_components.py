@@ -120,3 +120,38 @@ def test_tokenizer_protobuf_roundtrip(tmp_path):
     tok = Tokenizer.from_sentencepiece(path)
     assert tok.token_list == ["<blank>", "<unk>", "▁a", "▁b", "c", "<sos/eos>"]
     assert tok.ids_to_text([2, 4, 3]) == "ac b"
+
+
+def test_coverage_scorer_and_length_bonus():
+    from speechcatcher_tpu.decode.scorers import CoverageScorer, LengthBonus
+
+    cov = CoverageScorer(weight=2.0)
+    # All unique → no penalty; heavy repetition → large penalty
+    # (reference scorers.py:497-526 semantics).
+    assert cov.score([3, 5, 7, 9]) == 0.0
+    assert cov.score([4, 4, 4, 4]) == pytest.approx(-2.0 * (1 - 1 / 4))
+    assert cov.score([4]) == 0.0
+    assert CoverageScorer(0.0).score([4, 4]) == 0.0
+
+    lb = LengthBonus(weight=0.5)
+    assert lb.score([3, 5, 0, 7]) == pytest.approx(1.5)  # zeros are padding
+
+
+def test_progress_output_renders_and_wraps(capsys):
+    from speechcatcher_tpu.utils import term
+
+    n1 = term.progress_output("hello world", prev_lines=0)
+    assert n1 == 1
+    long_text = ("word " * 60).strip()  # 299 chars → wraps past 100 cols
+    n2 = term.progress_output(long_text, prev_lines=n1)
+    assert n2 >= 3
+    out = capsys.readouterr().out
+    assert "hello world" in out and "word" in out
+    assert "\x1b[2K" in out and "\x1b[1A" in out  # erase + cursor-up codes
+
+
+def test_list_microphones_degrades_without_pyaudio(capsys):
+    from speechcatcher_tpu.recognize import list_microphones
+
+    list_microphones()  # must not raise in an env without pyaudio
+    capsys.readouterr()

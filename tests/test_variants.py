@@ -84,3 +84,30 @@ def test_beam_size_one_engine_matches_single():
     engine.tick({s: audio[:chunk]})
     f = engine.finalize(s, audio[chunk : 2 * chunk])
     assert tuple(final_to_ids(model, f[0], f[1])) == tuple(golden)
+
+
+def test_coverage_weight_reranks_final_beam():
+    """coverage_weight=0 must be a no-op; >0 re-ranks the final beam by the
+    repetition penalty (reference scorers.py:497-526 CoverageScorer)."""
+    model = ASRModel.random_init(tiny_config(), seed=7)
+    rng = np.random.RandomState(7)
+    audio = (0.2 * np.sin(2 * np.pi * 220 * np.arange(24000) / 16000)
+             + 0.05 * rng.randn(24000)).astype(np.float32)
+
+    def run(cov):
+        s2t = Speech2TextStreaming(model=model, beam_size=3,
+                                   coverage_weight=cov)
+        res = []
+        for i in range(0, len(audio), 8000):
+            res = s2t(audio[i:i + 8000],
+                      is_final=i + 8000 >= len(audio))
+        return s2t.beam_search.best_hypothesis()
+
+    y0, _, s0 = run(0.0)
+    y1, _, s1 = run(1e6)  # huge weight → pick the least-repetitive hyp
+    # Sanity: both return a valid hypothesis; the giant-weight pick has a
+    # repetition ratio <= the default pick's.
+    from speechcatcher_tpu.decode.scorers import CoverageScorer
+
+    cov = CoverageScorer(1.0)
+    assert cov.score(list(y1[1:])) >= cov.score(list(y0[1:]))
