@@ -172,17 +172,24 @@ def _decode_segments_batched(
                 final_slots.append(slot)
         if batch:
             engine.tick(batch)
-        for slot in final_slots:
-            idx, pos, end = active.pop(slot)
-            yseq, xpos, _score = engine.finalize(slot, speech[pos:end])
-            res = assemble_hypothesis(
-                s2t.cfg, s2t.tokenizer, yseq, xpos, is_final=True
-            )
-            results[idx] = (
-                (res[0][0], res[0][1], res[0][3]) if res else ("", [], [])
-            )
-            if progress_cb is not None:
-                progress_cb()
+        if final_slots:
+            idx_of = {}
+            tails = {}
+            for slot in final_slots:
+                idx, pos, end = active.pop(slot)
+                idx_of[slot] = idx
+                tails[slot] = speech[pos:end]
+            for slot, (yseq, xpos, _score) in engine.finalize_batch(
+                tails
+            ).items():
+                res = assemble_hypothesis(
+                    s2t.cfg, s2t.tokenizer, yseq, xpos, is_final=True
+                )
+                results[idx_of[slot]] = (
+                    (res[0][0], res[0][1], res[0][3]) if res else ("", [], [])
+                )
+                if progress_cb is not None:
+                    progress_cb()
     return results
 
 

@@ -328,6 +328,193 @@ def _tick_blocks(
     return new_post, new_prev_addin, new_past_ctx, new_enc_out
 
 
+def _final_frontend(
+    wave: jnp.ndarray,        # (S, WCAP)
+    audio: jnp.ndarray,       # (S, A) zero-padded final chunks
+    wave_len: jnp.ndarray,    # (S,)
+    total_p: jnp.ndarray,     # (S,) max(wave_len+alen, win_length)
+    trim_start: jnp.ndarray,  # (S,)
+    window: jnp.ndarray,
+    mel_fb: jnp.ndarray,
+    mean: jnp.ndarray,
+    inv_std: jnp.ndarray,
+    n_fft: int,
+    hop: int,
+    fcap: int,
+) -> jnp.ndarray:
+    """Exact-length final frontend, batched over capacity buffers.
+
+    The final chunk runs the exact-length STFT (reference apply_frontend
+    final: speech2text_streaming.py:297-339): center=True reflect padding at
+    the TRUE end of the audio, zero-pad to win_length for short tails, no
+    trailing trim. Per-stream reflection inside the fixed-capacity buffer is
+    a computed gather: sample j of frame t reads index
+    reflect(t*hop - pad + j, total_p)."""
+    s, wcap = wave.shape
+    combined = jnp.concatenate([wave, audio], axis=1)   # (S, WCAP+A)
+    combined = _roll_left(combined, wcap - wave_len)    # data at 0
+    n = combined.shape[1]
+    # Zero beyond the valid samples: emulates the zero-pad-to-win_length of
+    # short finals and keeps the reflection region clean.
+    combined = jnp.where(
+        jnp.arange(n)[None, :] < total_p[:, None], combined, 0.0
+    )
+    pad = n_fft // 2
+    base = (
+        np.arange(fcap)[:, None] * hop + np.arange(n_fft)[None, :] - pad
+    )  # (fcap, n_fft) static
+    j0 = jnp.asarray(base, jnp.int32)[None]             # (1, fcap, n_fft)
+    tp = total_p[:, None, None]
+    idx = jnp.abs(j0)                                   # left reflect x[-i]=x[i]
+    idx = jnp.where(idx >= tp, 2 * (tp - 1) - idx, idx)  # right reflect
+    idx = jnp.clip(idx, 0, n - 1)
+    frames = jax.vmap(lambda c, i: c[i])(combined, idx)  # (S, fcap, n_fft)
+    frames = frames * window[None, None, :]
+    spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
+    power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+    mel = jnp.einsum("stf,fm->stm", power, mel_fb,
+                     preferred_element_type=jnp.float32)
+    feats = (jnp.log(jnp.clip(mel, min=1e-10)) - mean) * inv_std
+    return _roll_left(feats, trim_start)                # valid at 0
+
+
+def _final_blocks(
+    params,
+    pe: jnp.ndarray,
+    post: jnp.ndarray,        # (S, PCAP, d) — final frames already appended
+    bn: jnp.ndarray,          # (S,) final block count (0 = no encoder step)
+    npb: jnp.ndarray,         # (S,)
+    has_prev: jnp.ndarray,
+    has_past: jnp.ndarray,
+    prev_addin: jnp.ndarray,  # (S, 1, d)
+    past_ctx: jnp.ndarray,    # (S, L, d)
+    enc_out: jnp.ndarray,     # (S, ECAP, d)
+    buf_len: jnp.ndarray,     # (S,)
+    post_total: jnp.ndarray,  # (S,) frames available at final
+    first: jnp.ndarray,       # (S,) bool: npb == 0
+    y_emit: jnp.ndarray,      # (S,) frames to emit (host-computed y_length)
+    cfg: ModelConfig,
+    maxb: int,
+) -> jnp.ndarray:
+    """Final-block encoder step, batched (single-stream semantics:
+    models/encoder.py::step is_final=True — short last block masked in the
+    add-in mean and zero-padded after PE, per-block emission with the last
+    block emitting the remainder). Returns the new enc_out."""
+    s = post.shape[0]
+    d = cfg.encoder_dim
+    bs, hop, la = cfg.block_size, cfg.hop_size, cfg.look_ahead
+    offset = bs - la - hop
+
+    chunks = []
+    addins = []
+    for i in range(maxb):
+        blk = jax.lax.dynamic_slice_in_dim(post, i * hop, bs, axis=1)
+        cl = jnp.clip(post_total - i * hop, 1, bs)      # (S,) valid frames
+        fmask = (jnp.arange(bs)[None, :] < cl[:, None])[:, :, None]
+        blk = jnp.where(fmask, blk, 0.0)
+        if cfg.init_average:
+            addin = blk.sum(axis=1, keepdims=True) / cl[:, None, None]
+        else:
+            addin = jnp.where(fmask, blk, -jnp.inf).max(axis=1, keepdims=True)
+        if cfg.ctx_pos_enc:
+            pe_a = pe[jnp.clip(npb + i, 0, pe.shape[0] - 1)]
+            addin = addin * math.sqrt(d) + pe_a[:, None, :]
+        addins.append(addin)
+        start = jnp.clip(i * hop + hop * npb, 0, pe.shape[0] - bs)
+        pe_c = pe[start[:, None] + jnp.arange(bs)[None, :]]
+        # PE applies to the valid frames; padding stays exactly zero
+        # (reference _build_blocks pads AFTER the PE addition).
+        chunks.append(jnp.where(fmask, blk * math.sqrt(d) + pe_c, 0.0))
+
+    first_prev = jnp.where(has_prev[:, None, None], prev_addin, addins[0])
+    prev_list = [first_prev] + addins[:-1]
+    xs_chunk = jnp.stack(
+        [
+            jnp.concatenate([prev_list[i], chunks[i], addins[i]], axis=1)
+            for i in range(maxb)
+        ],
+        axis=1,
+    )  # (S, maxb, bs+2, d)
+
+    last_idx = jnp.clip(bn - 1, 0, maxb - 1)
+    mask = jnp.asarray(block_attention_mask(bs))
+    ys_chunk, _ = apply_layers_infer(
+        params["encoder"], xs_chunk, mask, past_ctx, has_past,
+        cfg.encoder_heads, last_block=last_idx.astype(jnp.int32),
+        layer_kind=cfg.encoder_type, pos_emb=pe[None, : bs + 2, :],
+    )
+    ys_chunk = ys_chunk[:, :, 1 : bs + 1, :]            # (S, maxb, bs, d)
+
+    # Emission gather: lead `offset` frames of block 0 for first-chunk
+    # streams, then hop frames per block, the LAST block emitting the
+    # remainder (up to hop+la frames) — variable per stream, so emitted
+    # positions map back to (block, in-block index) with a computed gather.
+    stcap = offset + (maxb - 1) * hop + hop + la
+    p = jnp.arange(stcap)[None, :]                      # (1, stcap)
+    lead_n = jnp.where(first, offset, 0)[:, None]       # (S, 1)
+    q = p - lead_n
+    blk = jnp.clip(q // hop, 0, last_idx[:, None])
+    idx_in = jnp.where(q < 0, p, offset + q - blk * hop)
+    flat = jnp.clip(blk * bs + idx_in, 0, maxb * bs - 1)  # (S, stcap)
+    ys_flat = ys_chunk.reshape(s, maxb * bs, d)
+    staging = jnp.take_along_axis(
+        ys_flat, flat[:, :, None].repeat(d, 2), axis=1
+    )                                                    # (S, stcap, d)
+    if cfg.normalize_before:
+        staging = layer_norm(params["encoder"]["after_norm"], staging)
+    return _scatter_append(enc_out, staging, buf_len, y_emit)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "maxb", "n_fft", "hop", "fcap", "subcap"),
+)
+def _fused_final_encode(
+    params,
+    pe: jnp.ndarray,
+    buffers: EngineBuffers,
+    audio: jnp.ndarray,   # (S, A) zero-padded final chunks
+    ints: jnp.ndarray,    # (11, S) int32: wave_len, total_p, trim_start,
+                          # raw_len, valid_feats, post_len, n_sub_out, bn,
+                          # npb, post_total, y_emit
+    flags: jnp.ndarray,   # (3, S) bool: has_prev, has_past, first
+    window: jnp.ndarray,
+    mel_fb: jnp.ndarray,
+    mean: jnp.ndarray,
+    inv_std: jnp.ndarray,
+    buf_len: jnp.ndarray,  # (S,)
+    cfg: ModelConfig,
+    maxb: int,
+    n_fft: int,
+    hop: int,
+    fcap: int,
+    subcap: int,
+) -> jnp.ndarray:
+    """Batched final encode: exact-length frontend tail → consume-all
+    subsample → final blocks → append to enc_out. One program for ALL
+    concurrently finalizing streams (the per-slot single-stream finalizer
+    runs ~10 variable-shape programs per final). Returns new enc_out only;
+    the slots reset right after, so carries are dead."""
+    (wave_len, total_p, trim_start, raw_len, valid_feats, post_len,
+     n_sub_out, bn, npb, post_total, y_emit) = [ints[i] for i in range(11)]
+    has_prev, has_past, first = flags[0], flags[1], flags[2]
+
+    feats = _final_frontend(
+        buffers.wave, audio, wave_len, total_p, trim_start, window, mel_fb,
+        mean, inv_std, n_fft, hop, fcap,
+    )
+    raw = _scatter_append(buffers.raw, feats, raw_len, valid_feats)
+    sub = conv2d_subsample(params["encoder"]["embed"], raw, cfg.input_layer)
+    post = _scatter_append(
+        buffers.post, sub[:, :subcap, :], post_len, n_sub_out
+    )
+    return _final_blocks(
+        params, pe, post, bn, npb, has_prev, has_past, buffers.prev_addin,
+        buffers.past_ctx, buffers.enc_out, buf_len, post_total, first,
+        y_emit, cfg, maxb,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "extcap"))
 def _gather_new_frames(
     enc_out: jnp.ndarray,   # (S, ECAP, d)
@@ -465,6 +652,45 @@ def _fused_round(
     return out, mem_cache, packed
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "beam"))
+def _reset_program(
+    mask: jnp.ndarray,
+    arrays: BeamArrays,
+    prev_arrays: BeamArrays,
+    mem_cache: MemoryCache,
+    buffers: EngineBuffers,
+    prev_valid: jnp.ndarray,
+    process_idx: jnp.ndarray,
+    output_index: jnp.ndarray,
+    cfg: ModelConfig,
+    beam: int,
+):
+    """Reset the masked slots to fresh-session state in ONE device program
+    (the eager select-per-field version dispatches ~25 programs per reset —
+    pure launch latency on the TPU relay)."""
+    s = mask.shape[0]
+    fresh_arrays = init_beam_arrays(cfg, s, beam)
+    fresh_mem = init_memory_cache(cfg, s)
+    zero_buf = jax.tree.map(jnp.zeros_like, buffers)
+    return (
+        _select_arrays(mask, fresh_arrays, arrays),
+        _select_arrays(mask, fresh_arrays, prev_arrays),
+        _select_mem(mask, fresh_mem, mem_cache),
+        _select_buffers(mask, zero_buf, buffers),
+        jnp.where(mask, False, prev_valid),
+        jnp.where(mask, 0, process_idx),
+        jnp.where(mask, 0, output_index),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("lmax",))
+def _gather_final_rows(arrays: BeamArrays, rows: jnp.ndarray, lmax: int):
+    """Best-hypothesis readback for the finalizing rows only — keeps the
+    device→host copy tiny (axon downloads are bandwidth-bound)."""
+    return (arrays.yseq[rows, 0, :lmax], arrays.xpos[rows, 0, :lmax],
+            arrays.score[rows, 0])
+
+
 # ---------------------------------------------------------------------------
 # Engine
 # ---------------------------------------------------------------------------
@@ -566,12 +792,15 @@ class StreamingEngine:
             enc_out=jnp.zeros((self.S, self.ECAP, d)),
         )
         self.arrays = init_beam_arrays(cfg, self.S, beam_size)
-        self.prev_arrays = self.arrays
+        # Distinct buffers: arrays and prev_arrays are donated by the same
+        # program — aliased buffers would be a double donation.
+        self.prev_arrays = init_beam_arrays(cfg, self.S, beam_size)
         self.prev_valid_dev = jnp.zeros((self.S,), bool)
         self.process_idx_dev = jnp.zeros((self.S,), jnp.int32)
         self.output_index_dev = jnp.zeros((self.S,), jnp.int32)
         self.mem_cache = init_memory_cache(cfg, self.S)
         self.c = SlotCounters.zeros(self.S)
+        self._slot_clean = np.ones(self.S, bool)  # fresh-state slots
 
         self.trim = math.ceil(math.ceil(cfg.win_length / cfg.hop_length) / 2)
         # Host upper bound on any stream's prefix length (refreshed from the
@@ -594,8 +823,14 @@ class StreamingEngine:
         free = np.flatnonzero(~self.c.active)
         if len(free) == 0:
             return None
-        s = int(free[0])
-        self._reset_slot(s)
+        # Prefer slots already reset (finalize_batch leaves them clean) —
+        # skips the reset program entirely on the re-arm path.
+        clean = free[self._slot_clean[free]]
+        s = int(clean[0]) if len(clean) else int(free[0])
+        if not self._slot_clean[s]:
+            self._reset_slot(s)
+        self.c.reset_slot(s)
+        self._slot_clean[s] = False
         self.c.active[s] = True
         return s
 
@@ -603,22 +838,25 @@ class StreamingEngine:
         self._reset_slot(s)
 
     def _reset_slot(self, s: int):
-        self.c.reset_slot(s)
+        self._reset_slots([s])
+
+    def _reset_slots(self, slots: List[int]):
+        """Reset several slots with ONE device program."""
         mask = np.zeros(self.S, bool)
-        mask[s] = True
-        fresh_arrays = init_beam_arrays(self.cfg, self.S, self.beam)
-        self.arrays = _select_arrays(mask, fresh_arrays, self.arrays)
-        self.prev_arrays = _select_arrays(mask, fresh_arrays, self.prev_arrays)
-        fresh_mem = init_memory_cache(self.cfg, self.S)
-        self.mem_cache = _select_mem(mask, fresh_mem, self.mem_cache)
-        zero_buf = jax.tree.map(jnp.zeros_like, self.buffers)
-        self.buffers = _select_buffers(mask, zero_buf, self.buffers)
-        m = jnp.asarray(mask)
-        self.prev_valid_dev = jnp.where(m, False, self.prev_valid_dev)
-        self.process_idx_dev = jnp.where(m, 0, self.process_idx_dev)
-        self.output_index_dev = jnp.where(m, 0, self.output_index_dev)
+        for s in slots:
+            self.c.reset_slot(s)
+            mask[s] = True
+        (self.arrays, self.prev_arrays, self.mem_cache, self.buffers,
+         self.prev_valid_dev, self.process_idx_dev,
+         self.output_index_dev) = _reset_program(
+            jnp.asarray(mask), self.arrays, self.prev_arrays, self.mem_cache,
+            self.buffers, self.prev_valid_dev, self.process_idx_dev,
+            self.output_index_dev, self.cfg, self.beam,
+        )
+        self._slot_clean[slots] = True
         if self._last_packed is not None:
-            self._last_packed[s, 0] = 1  # stale partials cleared
+            for s in slots:
+                self._last_packed[s, 0] = 1  # stale partials cleared
 
     # ------------------------------------------------------------------
     # Tick
@@ -980,3 +1218,181 @@ class StreamingEngine:
         self._reset_slot(s)
         self.c.active[s] = False
         return yseq, xpos, score
+
+    def finalize_batch(
+        self, finals: Dict[int, Optional[np.ndarray]]
+    ) -> Dict[int, Tuple[np.ndarray, np.ndarray, float]]:
+        """Finalize several slots with a CONSTANT number of device programs.
+
+        The per-slot `finalize` runs ~10 variable-shape programs per final
+        (state extraction slices, exact-length frontend, per-block decode);
+        at high stream counts with utterance churn that serializes on the
+        program-dispatch latency. Here ALL concurrently finalizing streams
+        share one batched final-encode (`_fused_final_encode`), the common
+        drain/final `_fused_round`s (the `block_final` mask that
+        decode_block_device already carries), one row-gather readback, and
+        one batched slot reset.
+
+        Slots that need the reference's short-segment encoder path
+        (npb==0 and ≤1 block of frames: models/encoder.py:553-554) or that
+        would overflow the encoder ring fall back to the parity-tested
+        single-stream finalizer.
+
+        Returns slot → (yseq, xpos, score), token-exact vs `finalize`.
+        """
+        c = self.c
+        cfg = self.cfg
+        from speechcatcher_tpu.models.encoder import subsampled_len
+
+        items: Dict[int, np.ndarray] = {}
+        oversize: List[int] = []
+        for s, a in finals.items():
+            if not c.active[s]:
+                continue
+            a = (np.zeros(0, np.float32) if a is None
+                 else np.asarray(a, np.float32).reshape(-1))
+            if len(a) > self.A:
+                # Staging backlog: the tail exceeds one tick's chunk. The
+                # single-stream finalizer handles arbitrary lengths (and
+                # raises loudly past ring capacity).
+                oversize.append(s)
+            items[s] = a
+        if not items:
+            return {}
+
+        bs, hop_b, la = cfg.block_size, cfg.hop_size, cfg.look_ahead
+        offset = bs - la - hop_b
+        win, hop = cfg.win_length, cfg.hop_length
+
+        batch: List[int] = []
+        fallback: List[int] = list(oversize)
+        oversize_set = set(oversize)
+        meta: Dict[int, Tuple[int, ...]] = {}
+        for s, a in items.items():
+            if s in oversize_set:
+                continue
+            total = int(c.wave_len[s]) + len(a)
+            total_p = max(total, win)
+            nf = 1 + total_p // hop
+            trim_start = 0 if c.first_wave[s] else self.trim
+            valid_feats = nf - trim_start
+            if valid_feats < 3:
+                # Mirrors the single-stream `feats.shape[1] >= 3` gate
+                # (beam_search.py::process_block): tiny tails are dropped.
+                valid_feats = 0
+            if valid_feats:
+                raw_total = int(c.raw_len[s]) + valid_feats
+                n_sub = max(0, subsampled_len(raw_total, cfg.input_layer))
+            else:
+                n_sub = 0
+            post_total = int(c.post_len[s]) + n_sub
+            npb = int(c.npb[s])
+            if valid_feats and npb == 0 and 0 < post_total <= bs:
+                fallback.append(s)  # short-segment path (_infer_short)
+                continue
+            if valid_feats and post_total > 0:
+                # Final block count + emission length (encoder step
+                # is_final semantics: models/encoder.py:535-565).
+                bn = max(1, -(-(post_total - offset - la) // hop_b))
+                y_emit = post_total if npb == 0 else post_total - offset
+            else:
+                bn, y_emit = 0, 0  # tiny tail: no encoder step, decode only
+            if y_emit < 0 or int(c.buf_len[s]) + y_emit > self.ECAP:
+                fallback.append(s)  # degenerate or ring-overflow: loud path
+                continue
+            meta[s] = (total_p, trim_start, valid_feats, n_sub, post_total,
+                       bn, y_emit)
+            batch.append(s)
+
+        out: Dict[int, Tuple[np.ndarray, np.ndarray, float]] = {}
+        if batch:
+            maxb = max(meta[s][5] for s in batch)
+            if maxb > 0:
+                audio = np.zeros((self.S, self.A), np.float32)
+                ints = np.zeros((11, self.S), np.int32)
+                flags = np.zeros((3, self.S), bool)
+                for s in batch:
+                    (total_p, trim_start, valid_feats, n_sub, post_total,
+                     bn, y_emit) = meta[s]
+                    audio[s, : len(items[s])] = items[s]
+                    ints[:, s] = (c.wave_len[s], total_p, trim_start,
+                                  c.raw_len[s], valid_feats, c.post_len[s],
+                                  n_sub, bn, c.npb[s], post_total, y_emit)
+                    flags[:, s] = (c.has_prev[s], c.has_past[s],
+                                   c.npb[s] == 0)
+                new_enc = _fused_final_encode(
+                    self.model.params, self.model.enc_pe, self.buffers,
+                    jnp.asarray(audio), jnp.asarray(ints), jnp.asarray(flags),
+                    self.model.frontend.window, self.model.frontend.mel_fb,
+                    self.model.frontend.mean, self.model.frontend.inv_std,
+                    jnp.asarray(c.buf_len.astype(np.int32)), cfg, maxb,
+                    cfg.n_fft, hop, self.FCAP, self.SUBCAP,
+                )
+                self.buffers = self.buffers._replace(enc_out=new_enc)
+                for s in batch:
+                    c.buf_len[s] += meta[s][6]
+
+            # Drain any now-complete full blocks, then ONE final round with
+            # the block_final mask (vis extends to the whole ring).
+            do = np.zeros(self.S, bool)
+            do[batch] = True
+            self._run_rounds(do)
+            new_vis = np.where(do, c.buf_len, c.vis_len)
+            stepping = do & (new_vis > 0)
+            if stepping.any():
+                n_ext = new_vis - c.vis_len
+                assert (n_ext <= self.EXTCAP).all(), (n_ext, self.EXTCAP)
+                # The final block may emit MANY tokens (block_final disables
+                # BBD, so repetitive audio decodes to EOS/max_length like the
+                # reference): a bucketed l_bound would pause mid-block and
+                # silently truncate. Full token capacity — once per
+                # utterance, and the loop exits as soon as all streams stop.
+                l_bound = cfg.max_tokens
+                t_bound = self._bucket(int(new_vis.max()) + 1, self.ECAP,
+                                       floor=128)
+                dev_state = BlockDecodeState(
+                    arrays=self.arrays,
+                    prev_arrays=self.prev_arrays,
+                    prev_valid=self.prev_valid_dev,
+                    process_idx=self.process_idx_dev,
+                    output_index=self.output_index_dev,
+                    stepping=jnp.asarray(stepping),
+                )
+                res, self.mem_cache, _ = _fused_round(
+                    self.model.params, self.model.dec_pe,
+                    self.buffers.enc_out, self.mem_cache, dev_state,
+                    jnp.asarray(c.vis_len.astype(np.int32)),
+                    jnp.asarray(n_ext.astype(np.int32)),
+                    jnp.asarray(do), cfg, self.beam, self.pre_beam,
+                    self.ctc_weight, self.use_bbd, self.max_length,
+                    l_bound, t_bound, self.EXTCAP, self.penalty,
+                )
+                self.arrays = res.arrays
+                self.prev_arrays = res.prev_arrays
+                self.prev_valid_dev = res.prev_valid
+                self.process_idx_dev = res.process_idx
+                self.output_index_dev = res.output_index
+                c.vis_len = np.where(stepping, new_vis, c.vis_len)
+
+            # One device row-gather + small host reads for ALL finals.
+            ylen_all = np.asarray(self.arrays.ylen)  # (S,) int32: tiny read
+            rows = jnp.asarray(np.array(batch, np.int32))
+            lmax = self._bucket(
+                max(int(ylen_all[batch].max()), 1), cfg.max_tokens
+            )
+            yseq_d, xpos_d, score_d = _gather_final_rows(
+                self.arrays, rows, lmax
+            )
+            yseq_h = np.asarray(yseq_d)
+            xpos_h = np.asarray(xpos_d)
+            score_h = np.asarray(score_d)
+            for i, s in enumerate(batch):
+                n = int(ylen_all[s])
+                out[s] = (yseq_h[i, :n], xpos_h[i, :n], float(score_h[i]))
+            self._reset_slots(batch)
+            for s in batch:
+                c.active[s] = False
+
+        for s in fallback:
+            out[s] = self.finalize(s, items[s])
+        return out

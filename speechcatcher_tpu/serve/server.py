@@ -229,23 +229,53 @@ class SessionManager:
                     sess.pending_final = True
                 out[sid] = {"partial": text}
 
-        for sid, sess in list(self.sessions.items()):
-            if sess.pending_final and not sess.closed and sess.slot is not None:
+        pending = [
+            (sid, sess)
+            for sid, sess in list(self.sessions.items())
+            if sess.pending_final and not sess.closed and sess.slot is not None
+        ]
+        if pending:
+            # ALL concurrent finals go through ONE batched device pass
+            # (engine.finalize_batch): finalization cost per tick is flat in
+            # the number of finishing utterances instead of ~10 programs per
+            # utterance serialized on the dispatch latency.
+            tails = {sess.slot: sess.staged.drain() for _, sess in pending}
+            sid_of = {sess.slot: sid for sid, sess in pending}
+            try:
+                results = self.engine.finalize_batch(tails)
+            except Exception:
+                logger.exception("batched finalize failed; per-session "
+                                 "fallback")
+                results = None
+            if results is not None:
+                for slot, (yseq, xpos, _score) in results.items():
+                    sid = sid_of[slot]
+                    out[sid] = self._assemble_final(
+                        self.sessions[sid], yseq, xpos
+                    )
+                    self.metrics.finalized()
+            else:
                 # A failing session must not take the batcher (and every
                 # other live session) down with it (SURVEY §5.3: the
                 # isolation requirement) — quarantine and close instead.
-                try:
-                    out[sid] = self._finalize(sess)
-                    self.metrics.finalized()
-                except Exception:
-                    logger.exception("finalize failed for session %s", sid)
-                    out[sid] = {"result": [], "text": ""}
-                    self.close_session(sid)
+                for sid, sess in pending:
+                    try:
+                        out[sid] = self._finalize(sess, tails[sess.slot])
+                        self.metrics.finalized()
+                    except Exception:
+                        logger.exception("finalize failed for session %s",
+                                         sid)
+                        out[sid] = {"result": [], "text": ""}
+                        self.close_session(sid)
         return out
 
-    def _finalize(self, sess: Session) -> dict:
-        last = sess.staged.drain()
+    def _finalize(self, sess: Session, last: Optional[np.ndarray] = None) -> dict:
+        if last is None:
+            last = sess.staged.drain()
         yseq, xpos, _score = self.engine.finalize(sess.slot, last)
+        return self._assemble_final(sess, yseq, xpos)
+
+    def _assemble_final(self, sess: Session, yseq, xpos) -> dict:
         ids = list(map(int, yseq[1:]))
         pos = list(map(int, xpos[1:]))
         if ids and ids[-1] == self.cfg.eos_id:
