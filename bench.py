@@ -175,6 +175,17 @@ def main():
         churn_period = CHURN_PERIOD
 
     model = ASRModel.random_init(cfg, seed=0)
+    # Realistic emission profile: random weights never rank <eos> into the
+    # beam, so every finalization would burst to the max_length step budget
+    # (each step pays an O(visible-frames) CTC prefix recursion) — a
+    # pathology real checkpoints don't have (they emit EOS within a few
+    # final steps). Bias the decoder's EOS logit so finals stop like real
+    # utterances do; streaming behavior (BBD block stops) is unchanged.
+    dec_out = model.params["decoder"]["output_layer"]
+    model.params["decoder"]["output_layer"] = {
+        **dec_out,
+        "bias": dec_out["bias"].at[cfg.eos_id].add(4.0),
+    }
     if on_accelerator:
         # Mixed precision: bf16 matmul weights (fp32 accumulation/norms).
         from speechcatcher_tpu.ops.layers import cast_params

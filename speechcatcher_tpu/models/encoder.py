@@ -240,7 +240,7 @@ def apply_layers_infer(
     trailing blocks are padding).
     """
     b, bn, w, d = xs_chunk.shape
-    bmask = jnp.broadcast_to(mask[None, :, :], (b * bn, w, w))
+    bmask = mask  # shared 2-D geometry mask (Pallas block-attention path)
     if last_block is None:
         last_block = jnp.full((b,), bn - 1, jnp.int32)
     layer_fn = _conformer_block if layer_kind == "conformer" else _attn_ffn
@@ -282,7 +282,7 @@ def apply_layers_train(
     placed by the driver.
     """
     b, bn, w, d = xs_chunk.shape
-    bmask = jnp.broadcast_to(mask[None, :, :], (b * bn, w, w))
+    bmask = mask  # shared 2-D geometry mask (Pallas block-attention path)
     layer_fn = _conformer_block if layer_kind == "conformer" else _attn_ffn
 
     def body(carry, p_layer):

@@ -146,9 +146,22 @@ def multi_head_attention(
     q = mha_project(p, query, "linear_q", n_head)
     k = mha_project(p, key, "linear_k", n_head)
     v = mha_project(p, value, "linear_v", n_head)
-    if mask is not None and mask.ndim == 3:
-        mask = mask[:, None, :, :]
-    x = scaled_dot_attention(q, k, v, mask)
+    if mask is not None and mask.ndim == 2:
+        # Shared static geometry mask (the streaming encoder's block mask):
+        # fused Pallas attention on TPU, broadcast XLA path elsewhere.
+        from speechcatcher_tpu.ops.pallas.block_attention import (
+            block_attention,
+            use_pallas,
+        )
+
+        if use_pallas():
+            x = block_attention(q, k, v, mask)
+        else:
+            x = scaled_dot_attention(q, k, v, mask[None, None, :, :])
+    else:
+        if mask is not None and mask.ndim == 3:
+            mask = mask[:, None, :, :]
+        x = scaled_dot_attention(q, k, v, mask)
     x = x.transpose(0, 2, 1, 3).reshape(b, -1, p["linear_out"]["weight"].shape[1])
     return linear(p["linear_out"], x)
 

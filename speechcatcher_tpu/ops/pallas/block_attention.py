@@ -1,0 +1,104 @@
+"""Fused masked block attention for the streaming encoder (Pallas/TPU).
+
+The contextual block encoder attends inside (block_size+2)-wide windows with
+one fixed geometry mask (rows 1..bs+1 attend cols 0..bs — encoder
+block_attention_mask; reference hook: multi_head_attention.py:9-14,165-177
+keeps a flash-attn import for exactly this op). The XLA path materializes
+Q·Kᵀ scores (N, H, W, W) and the zero-filled attention weights in HBM
+between the two einsums; this kernel keeps scores/softmax/zero-fill/AV in
+VMEM per tile — one HBM round trip for the whole attention instead of
+three, and one fused kernel launch per layer.
+
+Shapes: q/k/v (N, H, W, dk) with N = streams·blocks (large), W = bs+2 = 42
+(small), dk = d/H. The grid tiles N; each program computes TN·H tiny
+attentions batched through the MXU via dot_general batch dims.
+
+Numerics match ops/layers.py::scaled_dot_attention exactly (same MASK_MIN
+fill, same fully-masked-row zeroing) — parity test in
+tests/test_pallas_kernels.py runs the kernel in interpreter mode on CPU.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+
+from speechcatcher_tpu.ops.layers import MASK_MIN
+
+TN = 8  # streams·blocks per program instance
+
+
+def use_pallas() -> bool:
+    """Pallas kernels run on real TPUs; everywhere else the XLA path is
+    used (CPU tests exercise the kernel via interpret mode)."""
+    if os.environ.get("SPEECHCATCHER_NO_PALLAS"):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref):
+    q = q_ref[:]                       # (TN, H, W, dk) float32
+    k = k_ref[:]
+    v = v_ref[:]
+    dk = q.shape[-1]
+    scores = jax.lax.dot_general(
+        q, k,
+        dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32,
+    ) / math.sqrt(dk)                  # (TN, H, W, W)
+    keep = mask_ref[:] != 0            # (W, W) static geometry
+    scores = jnp.where(keep[None, None], scores, MASK_MIN)
+    attn = jax.nn.softmax(scores, axis=-1)
+    attn = jnp.where(keep[None, None], attn, 0.0)
+    o_ref[:] = jax.lax.dot_general(
+        attn, v,
+        dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def block_attention(
+    q: jnp.ndarray,     # (N, H, W, dk)
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: jnp.ndarray,  # (W, W) nonzero = attend
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """softmax(mask(Q·Kᵀ/√dk))·V with reference mask semantics, fused."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, h, w, dk = q.shape
+    n_pad = -(-n // TN) * TN
+    if n_pad != n:
+        pad = ((0, n_pad - n), (0, 0), (0, 0), (0, 0))
+        q = jnp.pad(q, pad)
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+
+    qkv_spec = pl.BlockSpec(
+        (TN, h, w, dk), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        _kernel,
+        out_shape=jax.ShapeDtypeStruct((n_pad, h, w, dk), jnp.float32),
+        grid=(n_pad // TN,),
+        in_specs=[
+            qkv_spec, qkv_spec, qkv_spec,
+            pl.BlockSpec((w, w), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (TN, h, w, dk), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
+      mask.astype(jnp.float32))
+    return out[:n]

@@ -691,6 +691,56 @@ def _gather_final_rows(arrays: BeamArrays, rows: jnp.ndarray, lmax: int):
             arrays.score[rows, 0])
 
 
+def _rows_arrays(a: BeamArrays, rows: jnp.ndarray, beam: int) -> BeamArrays:
+    """Gather per-stream rows out of BeamArrays (dec_cache is (L, S·B, ...):
+    gather whole B-sized row groups)."""
+    def sb(x):
+        l, s_b, lmax, d = x.shape
+        g = x.reshape(l, s_b // beam, beam, lmax, d)[:, rows]
+        return g.reshape(l, rows.shape[0] * beam, lmax, d)
+
+    return BeamArrays(
+        yseq=a.yseq[rows], xpos=a.xpos[rows], ylen=a.ylen[rows],
+        score=a.score[rows], score_dec=a.score_dec[rows],
+        score_ctc=a.score_ctc[rows],
+        dec_cache=DecoderCache(k=sb(a.dec_cache.k), v=sb(a.dec_cache.v)),
+        ctc=CTCScorerState(
+            logp=a.ctc.logp[rows], enc_len=a.ctc.enc_len[rows],
+            r=a.ctc.r[rows], s=a.ctc.s[rows],
+        ),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("beam",))
+def _extract_rows(
+    buffers: EngineBuffers,
+    arrays: BeamArrays,
+    prev_arrays: BeamArrays,
+    mem_cache: MemoryCache,
+    prev_valid: jnp.ndarray,
+    process_idx: jnp.ndarray,
+    output_index: jnp.ndarray,
+    rows: jnp.ndarray,   # (F,) int32 slot indices
+    beam: int,
+):
+    """Copy the state of F slots into a compact F-wide working set.
+
+    Finalization then runs its encode/drain/final programs at width F
+    (a handful) instead of the engine's full S: the final block can burst
+    to max_length beam steps (BBD off), and each step's state traffic
+    scales with the batch width — extracting first makes that burst cost
+    ~F/S of the naive masked-lockstep version. One gather program."""
+    return (
+        jax.tree.map(lambda x: x[rows], buffers),
+        _rows_arrays(arrays, rows, beam),
+        _rows_arrays(prev_arrays, rows, beam),
+        MemoryCache(k=mem_cache.k[:, rows], v=mem_cache.v[:, rows]),
+        prev_valid[rows],
+        process_idx[rows],
+        output_index[rows],
+    )
+
+
 # ---------------------------------------------------------------------------
 # Engine
 # ---------------------------------------------------------------------------
@@ -749,6 +799,7 @@ class StreamingEngine:
         chunk_samples: int = 8192,
         pre_beam_size: Optional[int] = None,
         penalty: float = 0.0,
+        max_length: Optional[int] = None,
     ):
         self.model = model
         cfg = model.cfg
@@ -760,7 +811,11 @@ class StreamingEngine:
         self.pre_beam = min(pre_beam_size or cfg.pre_beam_size, cfg.vocab_size)
         self.penalty = penalty
         self.A = chunk_samples
-        self.max_length = cfg.max_tokens - 1
+        # Per-utterance beam-step budget. Each step pays an O(visible
+        # frames) CTC prefix recursion, so serving deployments can cap it
+        # below the token capacity to bound worst-case finalization cost.
+        self.max_length = min(max_length or cfg.max_tokens - 1,
+                              cfg.max_tokens - 1)
 
         # Capacities.
         self.WCAP = cfg.win_length  # carry ≤ win_length always
@@ -813,7 +868,7 @@ class StreamingEngine:
         # Single-stream finalizer (shares weights; used per final chunk).
         self._finalizer = BlockwiseSynchronousBeamSearch(
             model, beam_size=beam_size, ctc_weight=ctc_weight,
-            use_bbd=use_bbd, penalty=penalty,
+            use_bbd=use_bbd, penalty=penalty, max_length=self.max_length,
         )
 
     # ------------------------------------------------------------------
@@ -1306,93 +1361,134 @@ class StreamingEngine:
 
         out: Dict[int, Tuple[np.ndarray, np.ndarray, float]] = {}
         if batch:
-            maxb = max(meta[s][5] for s in batch)
-            if maxb > 0:
-                audio = np.zeros((self.S, self.A), np.float32)
-                ints = np.zeros((11, self.S), np.int32)
-                flags = np.zeros((3, self.S), bool)
-                for s in batch:
-                    (total_p, trim_start, valid_feats, n_sub, post_total,
-                     bn, y_emit) = meta[s]
-                    audio[s, : len(items[s])] = items[s]
-                    ints[:, s] = (c.wave_len[s], total_p, trim_start,
-                                  c.raw_len[s], valid_feats, c.post_len[s],
-                                  n_sub, bn, c.npb[s], post_total, y_emit)
-                    flags[:, s] = (c.has_prev[s], c.has_past[s],
-                                   c.npb[s] == 0)
-                new_enc = _fused_final_encode(
-                    self.model.params, self.model.enc_pe, self.buffers,
-                    jnp.asarray(audio), jnp.asarray(ints), jnp.asarray(flags),
-                    self.model.frontend.window, self.model.frontend.mel_fb,
-                    self.model.frontend.mean, self.model.frontend.inv_std,
-                    jnp.asarray(c.buf_len.astype(np.int32)), cfg, maxb,
-                    cfg.n_fft, hop, self.FCAP, self.SUBCAP,
-                )
-                self.buffers = self.buffers._replace(enc_out=new_enc)
-                for s in batch:
-                    c.buf_len[s] += meta[s][6]
-
-            # Drain any now-complete full blocks, then ONE final round with
-            # the block_final mask (vis extends to the whole ring).
-            do = np.zeros(self.S, bool)
-            do[batch] = True
-            self._run_rounds(do)
-            new_vis = np.where(do, c.buf_len, c.vis_len)
-            stepping = do & (new_vis > 0)
-            if stepping.any():
-                n_ext = new_vis - c.vis_len
-                assert (n_ext <= self.EXTCAP).all(), (n_ext, self.EXTCAP)
-                # The final block may emit MANY tokens (block_final disables
-                # BBD, so repetitive audio decodes to EOS/max_length like the
-                # reference): a bucketed l_bound would pause mid-block and
-                # silently truncate. Full token capacity — once per
-                # utterance, and the loop exits as soon as all streams stop.
-                l_bound = cfg.max_tokens
-                t_bound = self._bucket(int(new_vis.max()) + 1, self.ECAP,
-                                       floor=128)
-                dev_state = BlockDecodeState(
-                    arrays=self.arrays,
-                    prev_arrays=self.prev_arrays,
-                    prev_valid=self.prev_valid_dev,
-                    process_idx=self.process_idx_dev,
-                    output_index=self.output_index_dev,
-                    stepping=jnp.asarray(stepping),
-                )
-                res, self.mem_cache, _ = _fused_round(
-                    self.model.params, self.model.dec_pe,
-                    self.buffers.enc_out, self.mem_cache, dev_state,
-                    jnp.asarray(c.vis_len.astype(np.int32)),
-                    jnp.asarray(n_ext.astype(np.int32)),
-                    jnp.asarray(do), cfg, self.beam, self.pre_beam,
-                    self.ctc_weight, self.use_bbd, self.max_length,
-                    l_bound, t_bound, self.EXTCAP, self.penalty,
-                )
-                self.arrays = res.arrays
-                self.prev_arrays = res.prev_arrays
-                self.prev_valid_dev = res.prev_valid
-                self.process_idx_dev = res.process_idx
-                self.output_index_dev = res.output_index
-                c.vis_len = np.where(stepping, new_vis, c.vis_len)
-
-            # One device row-gather + small host reads for ALL finals.
-            ylen_all = np.asarray(self.arrays.ylen)  # (S,) int32: tiny read
-            rows = jnp.asarray(np.array(batch, np.int32))
-            lmax = self._bucket(
-                max(int(ylen_all[batch].max()), 1), cfg.max_tokens
-            )
-            yseq_d, xpos_d, score_d = _gather_final_rows(
-                self.arrays, rows, lmax
-            )
-            yseq_h = np.asarray(yseq_d)
-            xpos_h = np.asarray(xpos_d)
-            score_h = np.asarray(score_d)
-            for i, s in enumerate(batch):
-                n = int(ylen_all[s])
-                out[s] = (yseq_h[i, :n], xpos_h[i, :n], float(score_h[i]))
-            self._reset_slots(batch)
-            for s in batch:
-                c.active[s] = False
+            out.update(self._finalize_compact(batch, items, meta))
 
         for s in fallback:
             out[s] = self.finalize(s, items[s])
+        return out
+
+    def _finalize_compact(
+        self,
+        batch: List[int],
+        items: Dict[int, np.ndarray],
+        meta: Dict[int, Tuple[int, ...]],
+    ) -> Dict[int, Tuple[np.ndarray, np.ndarray, float]]:
+        """Run the batched finalization at compact width F (padded to a
+        power-of-two bucket): extract the F slots' state in one gather
+        program, final-encode + drain + final beam rounds on the F-wide
+        copies, one readback, one batched reset of the big state. Beam-step
+        HBM traffic scales with F, not the engine's S — essential because
+        the final block may burst to max_length steps (BBD disabled, like
+        the reference's final block)."""
+        c = self.c
+        cfg = self.cfg
+        bs, hop_b, la = cfg.block_size, cfg.hop_size, cfg.look_ahead
+
+        f_real = len(batch)
+        f_pad = 4
+        while f_pad < f_real:
+            f_pad *= 2
+        # Pad with repeats of the first row; padded rows never step.
+        rows_list = batch + [batch[0]] * (f_pad - f_real)
+        rows = jnp.asarray(np.array(rows_list, np.int32))
+
+        (cb, carr, cprev, cmem, cpv, cpi, coi) = _extract_rows(
+            self.buffers, self.arrays, self.prev_arrays, self.mem_cache,
+            self.prev_valid_dev, self.process_idx_dev, self.output_index_dev,
+            rows, self.beam,
+        )
+
+        # Compact host counters.
+        do_f = np.zeros(f_pad, bool)
+        do_f[:f_real] = True
+        buf_f = c.buf_len[rows_list].astype(np.int64).copy()
+        vis_f = c.vis_len[rows_list].astype(np.int64).copy()
+        pb_f = c.processed_block[rows_list].astype(np.int64).copy()
+
+        maxb = max(meta[s][5] for s in batch)
+        if maxb > 0:
+            audio = np.zeros((f_pad, self.A), np.float32)
+            ints = np.zeros((11, f_pad), np.int32)
+            flags = np.zeros((3, f_pad), bool)
+            for i, s in enumerate(batch):
+                (total_p, trim_start, valid_feats, n_sub, post_total,
+                 bn, y_emit) = meta[s]
+                audio[i, : len(items[s])] = items[s]
+                ints[:, i] = (c.wave_len[s], total_p, trim_start,
+                              c.raw_len[s], valid_feats, c.post_len[s],
+                              n_sub, bn, c.npb[s], post_total, y_emit)
+                flags[:, i] = (c.has_prev[s], c.has_past[s], c.npb[s] == 0)
+            new_enc = _fused_final_encode(
+                self.model.params, self.model.enc_pe, cb,
+                jnp.asarray(audio), jnp.asarray(ints), jnp.asarray(flags),
+                self.model.frontend.window, self.model.frontend.mel_fb,
+                self.model.frontend.mean, self.model.frontend.inv_std,
+                jnp.asarray(buf_f.astype(np.int32)), cfg, maxb,
+                cfg.n_fft, cfg.hop_length, self.FCAP, self.SUBCAP,
+            )
+            cb = cb._replace(enc_out=new_enc)
+            for i, s in enumerate(batch):
+                buf_f[i] += meta[s][6]
+
+        # A single l/t bound for every compact round: full token capacity
+        # (the final block may emit up to max_length tokens — a bucketed
+        # l_bound would pause mid-block and silently truncate; at width F
+        # the extra per-step traffic is negligible).
+        l_bound = min(self.max_length + 2, cfg.max_tokens)
+        t_bound = self._bucket(int(buf_f.max()) + 1, self.ECAP, floor=128)
+
+        def run_round(ready: np.ndarray, new_vis: np.ndarray,
+                      block_final: np.ndarray):
+            nonlocal carr, cprev, cpv, cpi, coi, cmem, vis_f
+            n_ext = new_vis - vis_f
+            assert (n_ext <= self.EXTCAP).all(), (n_ext, self.EXTCAP)
+            dev_state = BlockDecodeState(
+                arrays=carr, prev_arrays=cprev, prev_valid=cpv,
+                process_idx=cpi, output_index=coi,
+                stepping=jnp.asarray(ready),
+            )
+            res, cmem, _ = _fused_round(
+                self.model.params, self.model.dec_pe, cb.enc_out, cmem,
+                dev_state, jnp.asarray(vis_f.astype(np.int32)),
+                jnp.asarray(n_ext.astype(np.int32)),
+                jnp.asarray(block_final), cfg, self.beam, self.pre_beam,
+                self.ctc_weight, self.use_bbd, self.max_length,
+                l_bound, t_bound, self.EXTCAP, self.penalty,
+            )
+            carr, cprev = res.arrays, res.prev_arrays
+            cpv, cpi, coi = (res.prev_valid, res.process_idx,
+                             res.output_index)
+            vis_f = np.where(ready, new_vis, vis_f)
+
+        # Drain remaining full blocks (streaming semantics), then the final
+        # block with block_final set (vis extends to the whole ring).
+        while True:
+            cur_end = bs - la + hop_b * pb_f
+            ready = do_f & (cur_end < buf_f)
+            if not ready.any():
+                break
+            run_round(ready, np.where(ready, cur_end, vis_f),
+                      np.zeros(f_pad, bool))
+            pb_f = np.where(ready, pb_f + 1, pb_f)
+        final_step = do_f & (buf_f > 0)
+        if final_step.any():
+            run_round(final_step, np.where(final_step, buf_f, vis_f), do_f)
+
+        # Readback: tiny compact reads.
+        ylen_h = np.asarray(carr.ylen)
+        lmax = self._bucket(max(int(ylen_h[:f_real].max()), 1),
+                            cfg.max_tokens)
+        yseq_d, xpos_d, score_d = _gather_final_rows(
+            carr, jnp.arange(f_real, dtype=jnp.int32), lmax
+        )
+        yseq_h = np.asarray(yseq_d)
+        xpos_h = np.asarray(xpos_d)
+        score_h = np.asarray(score_d)
+        out = {}
+        for i, s in enumerate(batch):
+            n = int(ylen_h[i])
+            out[s] = (yseq_h[i, :n], xpos_h[i, :n], float(score_h[i]))
+        self._reset_slots(batch)
+        for s in batch:
+            c.active[s] = False
         return out

@@ -77,3 +77,28 @@ def test_ctc_recursion_kernel_multi_tile():
         )
     )
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-4)
+
+
+def test_block_attention_kernel_matches_xla():
+    """Pallas fused block attention (interpret mode on CPU) must equal the
+    XLA scaled_dot_attention with the same mask semantics, including the
+    zero-filled fully-masked row (row 0 of the block mask)."""
+    import numpy as np
+
+    from speechcatcher_tpu.models.encoder import block_attention_mask
+    from speechcatcher_tpu.ops.layers import scaled_dot_attention
+    from speechcatcher_tpu.ops.pallas.block_attention import block_attention
+
+    rng = np.random.RandomState(3)
+    n, h, w, dk = 11, 4, 42, 16  # n deliberately not a multiple of TN
+    q = jnp.asarray(rng.randn(n, h, w, dk).astype(np.float32))
+    k = jnp.asarray(rng.randn(n, h, w, dk).astype(np.float32))
+    v = jnp.asarray(rng.randn(n, h, w, dk).astype(np.float32))
+    mask = jnp.asarray(block_attention_mask(w - 2))
+
+    ours = block_attention(q, k, v, mask, interpret=True)
+    ref = scaled_dot_attention(q, k, v, mask[None, None, :, :])
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    # Fully-masked query row (row 0) must be exactly zero.
+    assert np.all(np.asarray(ours)[:, :, 0, :] == 0.0)
