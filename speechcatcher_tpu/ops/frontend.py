@@ -56,16 +56,16 @@ def make_frontend_constants(
 def frame_signal(x: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
     """(B, S) waveform → (B, frames, n_fft) with torch.stft center=True.
 
-    Reflect-pads n_fft//2 on both sides; frames = 1 + S // hop.
+    Reflect-pads n_fft//2 on both sides; frames = 1 + S // hop. Frames are
+    built from static slices (pure data movement) — the strided-index
+    gather formulation lowers to a slow element gather on TPU.
     """
     pad = n_fft // 2
     x = jnp.pad(x, ((0, 0), (pad, pad)), mode="reflect")
     n_frames = 1 + (x.shape[1] - n_fft) // hop
-    # Gather frames with a strided index; XLA lowers this to an efficient
-    # dynamic-slice fusion (static shapes throughout).
-    starts = np.arange(n_frames) * hop
-    idx = starts[:, None] + np.arange(n_fft)[None, :]
-    return x[:, idx]
+    return jnp.stack(
+        [x[:, t * hop : t * hop + n_fft] for t in range(n_frames)], axis=1
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("n_fft", "hop"))

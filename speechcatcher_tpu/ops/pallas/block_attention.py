@@ -44,24 +44,27 @@ def use_pallas() -> bool:
 
 
 def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref):
-    q = q_ref[:]                       # (TN, H, W, dk) float32
-    k = k_ref[:]
-    v = v_ref[:]
-    dk = q.shape[-1]
+    tn, h, w, dk = q_ref.shape
+    # Mosaic's tpu.matmul supports ONE batch dim: fold (TN, H) together
+    # (a no-op relayout — the tiled trailing dims are untouched).
+    q = q_ref[:].reshape(tn * h, w, dk)
+    k = k_ref[:].reshape(tn * h, w, dk)
+    v = v_ref[:].reshape(tn * h, w, dk)
     scores = jax.lax.dot_general(
         q, k,
-        dimension_numbers=(((3,), (3,)), ((0, 1), (0, 1))),
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    ) / math.sqrt(dk)                  # (TN, H, W, W)
+    ) / math.sqrt(dk)                  # (TN·H, W, W)
     keep = mask_ref[:] != 0            # (W, W) static geometry
-    scores = jnp.where(keep[None, None], scores, MASK_MIN)
+    scores = jnp.where(keep[None], scores, MASK_MIN)
     attn = jax.nn.softmax(scores, axis=-1)
-    attn = jnp.where(keep[None, None], attn, 0.0)
-    o_ref[:] = jax.lax.dot_general(
+    attn = jnp.where(keep[None], attn, 0.0)
+    out = jax.lax.dot_general(
         attn, v,
-        dimension_numbers=(((3,), (2,)), ((0, 1), (0, 1))),
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )
+    o_ref[:] = out.reshape(tn, h, w, dk)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

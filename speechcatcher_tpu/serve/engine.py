@@ -77,14 +77,19 @@ class EngineBuffers(NamedTuple):
 
 
 def _roll_left(x: jnp.ndarray, shift: jnp.ndarray) -> jnp.ndarray:
-    """Per-stream left roll along axis 1. shift: (S,) int32."""
+    """Per-stream circular left roll along axis 1. shift: (S,) int32.
+
+    Implemented as a vmapped dynamic_slice over a doubled buffer: one
+    contiguous per-stream row DMA. The index-arithmetic take_along_axis
+    formulation lowers to an element gather, which costs ~70 ms per ~3M
+    elements on TPU — the rolls were the dominant cost of the whole encode
+    program (~350 ms/tick at S=176)."""
     n = x.shape[1]
-    idx = (jnp.arange(n)[None, :] + shift[:, None]) % n
-    if x.ndim == 2:
-        return jnp.take_along_axis(x, idx, axis=1)
-    return jnp.take_along_axis(
-        x, idx[:, :, None].repeat(x.shape[2], 2), axis=1
-    )
+    shift = jnp.mod(shift, n).astype(jnp.int32)
+    xx = jnp.concatenate([x, x], axis=1)
+    return jax.vmap(
+        lambda xi, s: jax.lax.dynamic_slice_in_dim(xi, s, n, axis=0)
+    )(xx, shift)
 
 
 def _scatter_append(
@@ -262,9 +267,12 @@ def _tick_blocks(
             pe_a = pe[jnp.clip(npb + i, 0, pe.shape[0] - 1)]
             addin = addin * math.sqrt(d) + pe_a[:, None, :]
         addins.append(addin)
-        # Chunk positions: offset = i*hop + hop*npb per stream.
+        # Chunk positions: offset = i*hop + hop*npb per stream. Contiguous
+        # PE window per stream → vmapped dynamic_slice, not a gather.
         start = jnp.clip(i * hop + hop * npb, 0, pe.shape[0] - bs)
-        pe_c = pe[start[:, None] + jnp.arange(bs)[None, :]]     # (S, bs, d)
+        pe_c = jax.vmap(
+            lambda s0: jax.lax.dynamic_slice_in_dim(pe, s0, bs, axis=0)
+        )(start.astype(jnp.int32))                              # (S, bs, d)
         chunks.append(blk * math.sqrt(d) + pe_c)
 
     first_prev = jnp.where(has_prev[:, None, None], prev_addin, addins[0])
@@ -421,7 +429,9 @@ def _final_blocks(
             addin = addin * math.sqrt(d) + pe_a[:, None, :]
         addins.append(addin)
         start = jnp.clip(i * hop + hop * npb, 0, pe.shape[0] - bs)
-        pe_c = pe[start[:, None] + jnp.arange(bs)[None, :]]
+        pe_c = jax.vmap(
+            lambda s0: jax.lax.dynamic_slice_in_dim(pe, s0, bs, axis=0)
+        )(start.astype(jnp.int32))
         # PE applies to the valid frames; padding stays exactly zero
         # (reference _build_blocks pads AFTER the PE addition).
         chunks.append(jnp.where(fmask, blk * math.sqrt(d) + pe_c, 0.0))
@@ -572,6 +582,11 @@ def _fused_encode(
      consumed, post_len, n_sub_out, bn) = [ints[i] for i in range(10)]
     has_prev, has_past = flags[0], flags[1]
 
+    if audio.dtype == jnp.int16:
+        # int16 PCM ingest: half the host→device bytes (the TPU-relay
+        # upload is the tick's dominant wall-clock cost); the exact
+        # ÷32767 normalization happens on device.
+        audio = audio.astype(jnp.float32) / 32767.0
     feats, new_wave = _tick_frontend(
         buffers.wave, audio, wave_len, trim_start, keep_from, keep_len,
         window, mel_fb, mean, inv_std, n_fft, hop,
@@ -919,9 +934,11 @@ class StreamingEngine:
     def tick(self, audio: Dict[int, np.ndarray]) -> Dict[int, List[int]]:
         """Advance all streams by one chunk.
 
-        audio: slot → exactly `chunk_samples` float32 samples (host staging
-        pads/queues). Returns slot → committed token ids of the best
-        hypothesis (partial output).
+        audio: slot → exactly `chunk_samples` samples: float32 in [-1, 1],
+        or int16 PCM (preferred — halves the host→device transfer, the
+        tick's dominant wall-clock cost on a relay-attached TPU; the exact
+        ÷32767 normalization runs on device). Returns slot → committed
+        token ids of the best hypothesis (partial output).
         """
         c = self.c
         cfg = self.cfg
@@ -929,7 +946,12 @@ class StreamingEngine:
         if not slots:
             return {}
         do = np.zeros(self.S, bool)
-        audio_batch = np.zeros((self.S, self.A), np.float32)
+        all_i16 = all(
+            np.asarray(audio[s]).dtype == np.int16 for s in slots
+        )
+        audio_batch = np.zeros(
+            (self.S, self.A), np.int16 if all_i16 else np.float32
+        )
         offset = cfg.block_size - cfg.look_ahead - cfg.hop_size
         emit_max = self.MAXB * cfg.hop_size + offset
         for s in slots:
@@ -941,6 +963,8 @@ class StreamingEngine:
             # corruption is never possible.
             if c.buf_len[s] + emit_max > self.ECAP:
                 continue
+            if not all_i16 and np.asarray(chunk).dtype == np.int16:
+                chunk = np.asarray(chunk, np.float32) / 32767.0
             audio_batch[s] = chunk
             do[s] = True
         if not do.any():
@@ -1305,7 +1329,11 @@ class StreamingEngine:
             if not c.active[s]:
                 continue
             a = (np.zeros(0, np.float32) if a is None
-                 else np.asarray(a, np.float32).reshape(-1))
+                 else np.asarray(a).reshape(-1))
+            if a.dtype == np.int16:
+                a = a.astype(np.float32) / 32767.0
+            else:
+                a = a.astype(np.float32)
             if len(a) > self.A:
                 # Staging backlog: the tail exceeds one tick's chunk. The
                 # single-stream finalizer handles arbitrary lengths (and

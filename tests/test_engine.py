@@ -127,3 +127,25 @@ def test_engine_slot_reuse(model):
     engine.tick({s2: a[:CHUNK]})
     f = engine.finalize(s2, a[CHUNK : 2 * CHUNK])
     assert final_to_ids(model, f[0], f[1]) == golden
+
+
+def test_engine_int16_ingest_matches_float(model):
+    """int16 PCM chunks (normalized on device) must produce exactly the
+    same tokens as pre-normalized float32 chunks."""
+    n_chunks = 3
+    a16 = (np.clip(synth_audio(n_chunks * CHUNK / 16000 + 0.01, seed=77),
+                   -1, 1) * 32767).astype(np.int16)
+    af = a16.astype(np.float32) / 32767.0
+
+    outs = []
+    for audio in (af, a16):
+        engine = StreamingEngine(model, n_slots=2, beam_size=3,
+                                 chunk_samples=CHUNK)
+        s = engine.acquire_slot()
+        for i in range(n_chunks - 1):
+            engine.tick({s: audio[i * CHUNK : (i + 1) * CHUNK]})
+        outs.append(engine.finalize_batch(
+            {s: audio[(n_chunks - 1) * CHUNK :]}
+        )[s])
+    assert list(map(int, outs[0][0])) == list(map(int, outs[1][0]))
+    assert list(map(int, outs[0][1])) == list(map(int, outs[1][1]))
