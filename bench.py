@@ -45,7 +45,7 @@ FINAL_FLUSH = 4   # ticks between batched finalization flushes
 # (its finalize-program compiles must not land in the timed window).
 WARMUP_TICKS = CHURN_PERIOD + FINAL_FLUSH + 3
 TIMED_TICKS = 12
-TIME_BUDGET_S = 540.0
+TIME_BUDGET_S = 720.0
 
 
 def synth_audio(n_ticks: int, seed: int) -> np.ndarray:
@@ -91,8 +91,8 @@ def analytic_flops_per_tick_per_stream(model, beam: int) -> float:
 
 
 def measure(model, n_streams: int, beam: int,
-            churn_period: int = CHURN_PERIOD) -> float:
-    """(mean, p95) iteration latency (seconds) at steady state with
+            churn_period: int = CHURN_PERIOD) -> tuple:
+    """(mean, median, p95) iteration latency (seconds) at steady state with
     n_streams active streams; churn_period > 0 adds staggered
     finalize+rejoin every churn_period ticks (batched via
     engine.finalize_batch, flushed every FINAL_FLUSH ticks)."""
@@ -102,9 +102,15 @@ def measure(model, n_streams: int, beam: int,
         model, n_slots=n_streams, beam_size=beam, chunk_samples=CHUNK
     )
     churn = churn_period > 0
-    # No-churn warmup still spans the first t_bound bucket crossing
-    # (~tick 10) so its recompile stays out of the timed window.
-    warmup = (churn_period + FINAL_FLUSH + 3) if churn else 12
+    # Warmup must visit every program shape the timed window can see (the
+    # t_bound/l_bound buckets recompile on first crossing — a cold-cache
+    # compile inside the timed window would dominate the measurement).
+    # With churn, utterance ages stay <= churn_period (first finals fire
+    # from tick 1, see next_final below), so by tick churn_period+flush+3
+    # every bucket and flush width has been compiled. Without churn, ages
+    # reach warmup+TIMED_TICKS; warmup 22 keeps the timed window inside
+    # the [256, 512) visible-frames bucket (crossings at ~tick 21 / 41).
+    warmup = (churn_period + FINAL_FLUSH + 3) if churn else 22
     n_ticks = warmup + TIMED_TICKS
     waves = [synth_audio((churn_period or 4) + 1, seed=k)
              for k in range(n_streams)]
@@ -112,9 +118,14 @@ def measure(model, n_streams: int, beam: int,
     slots = [engine.acquire_slot() for _ in range(n_streams)]
     stream_of = {s: k for k, s in enumerate(slots)}
     age = {s: 0 for s in slots}
-    # First final staggered by slot (spreads churn over every tick), then
-    # exactly every CHURN_PERIOD ticks.
-    next_final = {s: churn_period + (k % churn_period) if churn else 10**9
+    # First final staggered across ticks 1..churn_period (spreads churn over
+    # every tick AND keeps steady-state utterance ages <= churn_period so
+    # the visible-frame bucket set is fixed after warmup), then exactly
+    # every CHURN_PERIOD ticks. Floor of 5 ticks: a shorter utterance has
+    # less than one encoder block and routes through the engine's
+    # short-segment fallback (single-stream programs), which the
+    # steady-state serving load never exercises.
+    next_final = {s: max(5, (k % churn_period) + 1) if churn else 10**9
                   for k, s in enumerate(slots)}
     finals_done = 0
 
@@ -141,29 +152,36 @@ def measure(model, n_streams: int, beam: int,
         # amortizes the per-program dispatch latency over every utterance
         # that ended since the last flush (bounded extra latency:
         # < FINAL_FLUSH chunks, far below the endpointing delay).
-        if pending and (i % FINAL_FLUSH == FINAL_FLUSH - 1
-                        or i == n_ticks - 1):
+        if pending and i % FINAL_FLUSH == FINAL_FLUSH - 1:
             engine.finalize_batch(pending)
             finals_done += len(pending)
+            # Two phases: release ALL finished streams' bookkeeping first,
+            # then acquire. acquire_slot may hand back a slot id that is a
+            # later member of `pending` (finalize_batch freed them all) —
+            # interleaving would delete the new tenant's entries.
+            rejoin = []
             for s in list(pending):
-                k = stream_of.pop(s)
+                rejoin.append(stream_of.pop(s))
                 del age[s]
                 del next_final[s]
+            pending.clear()
+            for k in rejoin:
                 s2 = engine.acquire_slot()
                 assert s2 is not None
                 stream_of[s2] = k
                 age[s2] = 0
                 next_final[s2] = churn_period
-            pending.clear()
         dt = time.perf_counter() - t0
         if i >= warmup:
             lat.append(dt)
     if churn:
         assert finals_done > 0, "churn schedule produced no finals"
     # Real-time criterion: MEAN iteration time (throughput) — burst ticks
-    # that flush finals are fine as long as the backlog drains; p50 would
-    # hide them entirely, so the gate uses the mean.
-    return float(np.mean(lat)), float(np.percentile(lat, 95))
+    # that flush finals are fine as long as the backlog drains; the median
+    # would hide them entirely, so the gate uses the mean. The median is
+    # reported as the single-stream chunk-latency metric.
+    return (float(np.mean(lat)), float(np.median(lat)),
+            float(np.percentile(lat, 95)))
 
 
 def _build_model(on_accelerator: bool):
@@ -187,6 +205,19 @@ def _build_model(on_accelerator: bool):
         **dec_out,
         "bias": dec_out["bias"].at[cfg.eos_id].add(4.0),
     }
+    # Same story for the CTC head: real checkpoints put ~95% of frame mass
+    # on <blank> (speech is mostly non-emission), which is what makes the
+    # combined CTC+decoder score let EOS win the final block after a few
+    # steps. Unbiased random logits spread mass uniformly over the vocab,
+    # so the CTC prefix score of the all-frames-consumed EOS path is
+    # ~T*log(V) below every extension and the final burst runs to the
+    # token-capacity cap (~192 tokens/utterance instead of a realistic
+    # ~25). Bias blank so softmax(blank) ≈ e^10/(e^10+V) ≈ 0.96.
+    ctc_lo = model.params["ctc"]["ctc_lo"]
+    model.params["ctc"]["ctc_lo"] = {
+        **ctc_lo,
+        "bias": ctc_lo["bias"].at[cfg.blank_id].add(10.0),
+    }
     if on_accelerator:
         # Mixed precision: bf16 matmul weights (fp32 accumulation/norms).
         from speechcatcher_tpu.ops.layers import cast_params
@@ -207,8 +238,9 @@ def run_rung(n_streams: int, churn_period: int):
     on_accelerator = jax.devices()[0].platform not in ("cpu",)
     model = _build_model(on_accelerator)
     beam = 5 if on_accelerator else 2
-    mean, p95 = measure(model, n_streams, beam, churn_period=churn_period)
-    print(json.dumps({"mean": mean, "p95": p95}))
+    mean, med, p95 = measure(model, n_streams, beam,
+                             churn_period=churn_period)
+    print(json.dumps({"mean": mean, "median": med, "p95": p95}))
 
 
 def _rung_subprocess(n_streams: int, churn_period: int, timeout_s: float):
@@ -228,7 +260,7 @@ def _rung_subprocess(n_streams: int, churn_period: int, timeout_s: float):
         try:
             d = json.loads(line)
             return d["mean"], d["p95"]
-        except (json.JSONDecodeError, KeyError):
+        except (json.JSONDecodeError, KeyError, TypeError):
             continue
     tail = (res.stderr or "").strip().splitlines()[-1:]
     print(f"# S={n_streams} failed: {tail}", file=sys.stderr)
@@ -268,7 +300,7 @@ def main():
     start = time.time()
     # Second BASELINE target: single-stream p50 chunk latency (< 100 ms).
     try:
-        single_p50, _ = measure(model, 1, beam, churn_period=0)
+        _, single_p50, _ = measure(model, 1, beam, churn_period=0)
         print(f"# S=1: p50 tick {single_p50*1000:.1f} ms", file=sys.stderr)
     except Exception:
         single_p50 = None
