@@ -53,15 +53,21 @@ NEG_INF = -1.0e30
 
 
 class BeamArrays(NamedTuple):
-    """Structure-of-arrays beam state for S streams × B hypotheses."""
+    """Structure-of-arrays beam state for S streams × B hypotheses.
+
+    The decoder KV cache is NOT part of the beam state: its rows are
+    append-only and lane-resident (lazy reorder — see models/decoder.py::
+    decoder_step), so pruning, rollback and rewind all act on the small
+    `lane` index map while the (L, S·B, Lmax, d) buffers are carried
+    separately and never copied per step."""
 
     yseq: jnp.ndarray       # (S, B, Lmax) int32, [0] = SOS
     xpos: jnp.ndarray       # (S, B, Lmax) int32 encoder positions per token
+    lane: jnp.ndarray       # (S, B, Lmax) int32 cache lane of position p's row
     ylen: jnp.ndarray       # (S,) int32 current prefix length (incl. SOS)
     score: jnp.ndarray      # (S, B) total score
     score_dec: jnp.ndarray  # (S, B) accumulated decoder score
     score_ctc: jnp.ndarray  # (S, B) accumulated CTC score
-    dec_cache: DecoderCache  # (L, S*B, Lmax, d)
     ctc: CTCScorerState
 
 
@@ -98,11 +104,11 @@ def init_beam_arrays(cfg: ModelConfig, n_streams: int, beam: int) -> BeamArrays:
     return BeamArrays(
         yseq=yseq,
         xpos=jnp.zeros((n_streams, beam, lmax), jnp.int32),
+        lane=jnp.zeros((n_streams, beam, lmax), jnp.int32),
         ylen=jnp.ones((n_streams,), jnp.int32),
         score=score,
         score_dec=jnp.zeros((n_streams, beam)),
         score_ctc=jnp.zeros((n_streams, beam)),
-        dec_cache=init_decoder_cache(cfg, n_streams * beam),
         ctc=init_ctc_state(n_streams, beam, cfg.max_enc_frames, cfg.vocab_size),
     )
 
@@ -111,15 +117,17 @@ def _beam_step_core(
     params,
     dec_pe: jnp.ndarray,
     mem_cache: MemoryCache,
+    dec_cache: DecoderCache,
     arrays: BeamArrays,
     vis_len: jnp.ndarray,   # (S,) visible encoder frames
+    stepping: jnp.ndarray,  # (S,) bool — streams advancing this step
     cfg: ModelConfig,
     beam: int,
     pre_beam: int,
     ctc_weight: float,
     use_bbd: bool,
     penalty: float = 0.0,
-) -> Tuple[BeamArrays, StepFlags]:
+) -> Tuple[BeamArrays, DecoderCache, StepFlags]:
     """One synchronous beam step for all streams (reference :701-821)."""
     s_dim = arrays.yseq.shape[0]
     n = s_dim * beam
@@ -134,12 +142,15 @@ def _beam_step_core(
     dec_logp, new_cache = decoder_step.__wrapped__(
         params["decoder"],
         dec_pe,
-        arrays.dec_cache,
+        dec_cache,
         mem_cache,
         last_tok.reshape(n),
         jnp.repeat(arrays.ylen - 1, beam),
         vis_len,
+        arrays.lane,
+        jnp.repeat(stepping, beam),
         cfg,
+        beam,
     )
     dec_logp = dec_logp.reshape(s_dim, beam, vocab)
 
@@ -194,6 +205,17 @@ def _beam_step_core(
         new_xpos * (1 - pos_onehot)
         + pos_onehot * cur_pos[:, None, None].astype(jnp.int32)
     )
+    # Lane map: inherit the parent's lineage; this step's rows (the
+    # parents' last-token K/V, position ylen-1) were written at the
+    # PARENT's physical lane.
+    new_lane = jnp.take_along_axis(
+        arrays.lane, src[:, :, None].repeat(arrays.lane.shape[2], 2), axis=1
+    )
+    prev_onehot = jax.nn.one_hot(
+        (arrays.ylen - 1)[:, None].repeat(beam, 1), arrays.lane.shape[2],
+        dtype=jnp.int32,
+    )
+    new_lane = new_lane * (1 - prev_onehot) + prev_onehot * src[:, :, None]
 
     new_score = best_total
     new_score_dec = take2(arrays.score_dec) + gather_tok(dec_logp)
@@ -203,20 +225,15 @@ def _beam_step_core(
     new_ctc = ctc_advance_state(
         arrays.ctc, log_psi, src, chosen, cand_ids, last_tok, olen
     )
-    # Decoder cache: flat gather across (S*B).
-    flat_src = (src + (jnp.arange(s_dim) * beam)[:, None]).reshape(n)
-    new_dec_cache = DecoderCache(
-        k=new_cache.k[:, flat_src], v=new_cache.v[:, flat_src]
-    )
 
     new_arrays = BeamArrays(
         yseq=new_yseq,
         xpos=new_xpos,
+        lane=new_lane,
         ylen=arrays.ylen + 1,
         score=new_score,
         score_dec=new_score_dec,
         score_ctc=new_score_ctc,
-        dec_cache=new_dec_cache,
         ctc=new_ctc,
     )
 
@@ -242,7 +259,7 @@ def _beam_step_core(
     else:
         repetition = jnp.zeros((s_dim,), bool)
 
-    return new_arrays, StepFlags(
+    return new_arrays, new_cache, StepFlags(
         eos_in_beam=eos_in_beam,
         best_is_eos=best_is_eos,
         all_eos=all_eos,
@@ -266,22 +283,16 @@ def _sel0(m: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
 
 
 def select_arrays(mask: jnp.ndarray, a: BeamArrays, b: BeamArrays) -> BeamArrays:
-    """Per-stream select over every BeamArrays field (DecoderCache is
-    (L, S·B, Lmax, d); everything else leads with S)."""
+    """Per-stream select over every BeamArrays field (all lead with S)."""
     m = jnp.asarray(mask)
-    beam = a.yseq.shape[1]
-    m_flat = jnp.repeat(m, beam)[None, :, None, None]   # (1, S*B, 1, 1)
     return BeamArrays(
         yseq=_sel0(m, a.yseq, b.yseq),
         xpos=_sel0(m, a.xpos, b.xpos),
+        lane=_sel0(m, a.lane, b.lane),
         ylen=_sel0(m, a.ylen, b.ylen),
         score=_sel0(m, a.score, b.score),
         score_dec=_sel0(m, a.score_dec, b.score_dec),
         score_ctc=_sel0(m, a.score_ctc, b.score_ctc),
-        dec_cache=DecoderCache(
-            k=jnp.where(m_flat, a.dec_cache.k, b.dec_cache.k),
-            v=jnp.where(m_flat, a.dec_cache.v, b.dec_cache.v),
-        ),
         ctc=CTCScorerState(
             logp=_sel0(m, a.ctc.logp, b.ctc.logp),
             enc_len=_sel0(m, a.ctc.enc_len, b.ctc.enc_len),
@@ -292,10 +303,13 @@ def select_arrays(mask: jnp.ndarray, a: BeamArrays, b: BeamArrays) -> BeamArrays
 
 
 class BlockDecodeState(NamedTuple):
-    """Carry of the on-device block-decode loop."""
+    """Carry of the on-device block-decode loop. The decoder KV cache rides
+    along mutably (append-only rows) but is never selected or snapshotted —
+    rollback/rewind restore the `lane` map inside arrays instead."""
 
     arrays: BeamArrays
     prev_arrays: BeamArrays
+    dec_cache: DecoderCache   # (L, S·B, Lmax, d) lane-resident rows
     prev_valid: jnp.ndarray   # (S,) bool — rewind snapshot exists
     process_idx: jnp.ndarray  # (S,) int32
     output_index: jnp.ndarray  # (S,) int32
@@ -308,13 +322,11 @@ def _slice_arrays(a: BeamArrays, l_bound: int, t_bound: int) -> BeamArrays:
     return BeamArrays(
         yseq=a.yseq[:, :, :l_bound],
         xpos=a.xpos[:, :, :l_bound],
+        lane=a.lane[:, :, :l_bound],
         ylen=a.ylen,
         score=a.score,
         score_dec=a.score_dec,
         score_ctc=a.score_ctc,
-        dec_cache=DecoderCache(
-            k=a.dec_cache.k[:, :, :l_bound], v=a.dec_cache.v[:, :, :l_bound]
-        ),
         ctc=CTCScorerState(
             logp=a.ctc.logp[:, :, :t_bound],
             enc_len=a.ctc.enc_len,
@@ -330,14 +342,11 @@ def _merge_arrays(full: BeamArrays, view: BeamArrays, l_bound: int,
     return BeamArrays(
         yseq=full.yseq.at[:, :, :l_bound].set(view.yseq),
         xpos=full.xpos.at[:, :, :l_bound].set(view.xpos),
+        lane=full.lane.at[:, :, :l_bound].set(view.lane),
         ylen=view.ylen,
         score=view.score,
         score_dec=view.score_dec,
         score_ctc=view.score_ctc,
-        dec_cache=DecoderCache(
-            k=full.dec_cache.k.at[:, :, :l_bound].set(view.dec_cache.k),
-            v=full.dec_cache.v.at[:, :, :l_bound].set(view.dec_cache.v),
-        ),
         ctc=CTCScorerState(
             logp=full.ctc.logp,  # append-only ring, unchanged by the loop
             enc_len=view.ctc.enc_len,
@@ -389,12 +398,16 @@ def decode_block_device(
 
     full_arrays = state.arrays
     full_prev = state.prev_arrays
+    full_cache = state.dec_cache
     mem_view = MemoryCache(
         k=mem_cache.k[:, :, :t_bound], v=mem_cache.v[:, :, :t_bound]
     )
     state = state._replace(
         arrays=_slice_arrays(full_arrays, l_bound, t_bound),
         prev_arrays=_slice_arrays(full_prev, l_bound, t_bound),
+        dec_cache=DecoderCache(
+            k=full_cache.k[:, :, :l_bound], v=full_cache.v[:, :, :l_bound]
+        ),
     )
     stepping0 = state.stepping
 
@@ -408,9 +421,9 @@ def decode_block_device(
             & (st.arrays.ylen + 1 < l_bound)
         )
         old = st.arrays
-        new, flags = _beam_step_core(
-            params, dec_pe, mem_view, old, vis_len, cfg, beam, pre_beam,
-            ctc_weight, use_bbd, penalty,
+        new, dec_cache, flags = _beam_step_core(
+            params, dec_pe, mem_view, st.dec_cache, old, vis_len, stepping,
+            cfg, beam, pre_beam, ctc_weight, use_bbd, penalty,
         )
         output_index = jnp.where(stepping, st.output_index + 1,
                                  st.output_index)
@@ -443,6 +456,7 @@ def decode_block_device(
         return BlockDecodeState(
             arrays=arrays,
             prev_arrays=prev_arrays,
+            dec_cache=dec_cache,
             prev_valid=prev_valid,
             process_idx=process_idx,
             output_index=output_index,
@@ -474,6 +488,10 @@ def decode_block_device(
     return BlockDecodeState(
         arrays=_merge_arrays(full_arrays, arrays, l_bound, t_bound),
         prev_arrays=_merge_arrays(full_prev, st.prev_arrays, l_bound, t_bound),
+        dec_cache=DecoderCache(
+            k=full_cache.k.at[:, :, :l_bound].set(st.dec_cache.k),
+            v=full_cache.v.at[:, :, :l_bound].set(st.dec_cache.v),
+        ),
         prev_valid=jnp.where(rewind, False, st.prev_valid),
         process_idx=jnp.where(rewind, st.process_idx - 1, st.process_idx),
         output_index=st.output_index,
@@ -490,6 +508,7 @@ class BSBSState:
     vis_len: int                         # frames made visible to scorers
     arrays: BeamArrays
     mem_cache: MemoryCache
+    dec_cache: DecoderCache              # lane-resident self-attn KV rows
     prev_arrays: Optional[BeamArrays]    # rewind snapshot (reference prev_hyps)
     process_idx: int
     processed_block: int
@@ -531,6 +550,7 @@ class BlockwiseSynchronousBeamSearch:
             vis_len=0,
             arrays=init_beam_arrays(self.cfg, 1, self.beam_size),
             mem_cache=init_memory_cache(self.cfg, 1),
+            dec_cache=init_decoder_cache(self.cfg, self.beam_size),
             prev_arrays=None,
             process_idx=0,
             processed_block=0,
@@ -624,6 +644,7 @@ class BlockwiseSynchronousBeamSearch:
         dev_state = BlockDecodeState(
             arrays=st.arrays,
             prev_arrays=prev,
+            dec_cache=st.dec_cache,
             prev_valid=jnp.array([st.prev_arrays is not None]),
             process_idx=jnp.array([st.process_idx], jnp.int32),
             output_index=jnp.array([st.output_index], jnp.int32),
@@ -645,6 +666,7 @@ class BlockwiseSynchronousBeamSearch:
             penalty=self.penalty,
         )
         st.arrays = out.arrays
+        st.dec_cache = out.dec_cache
         st.prev_arrays = out.prev_arrays if bool(out.prev_valid[0]) else None
         st.process_idx = int(out.process_idx[0])
         st.output_index = int(out.output_index[0])

@@ -7,8 +7,10 @@ The reference caches each layer's *output prefix* and recomputes K/V
 projections over the whole prefix every step (decoder_layer.py:85-95). Here
 the K/V projections themselves are cached in fixed-capacity (Lmax) buffers —
 numerically identical (prefix layer inputs never change between steps, so
-their K/V are constants) but O(1) projection work per step, static shapes,
-and beam reordering is a single gather along the hypothesis axis.
+their K/V are constants) but O(1) projection work per step and static shapes.
+The cache is LAZILY REORDERED: beam pruning permutes a small per-position
+lane map instead of the buffers, so rows are append-only — no per-step cache
+gather, and rollback/rewind need no cache snapshot at all.
 
 Cross-attention K/V over the growing encoder buffer are likewise cached per
 *stream* (shared by all hypotheses of a stream) and extended only when new
@@ -212,6 +214,54 @@ def _attend_cached(
     return out.reshape(n, d)
 
 
+def _attend_cached_lane(
+    q: jnp.ndarray,        # (N, d) single query per hyp, laid out (S, B)
+    k: jnp.ndarray,        # (N, T, d) append-only lane-resident rows
+    v: jnp.ndarray,        # (N, T, d)
+    k_self: jnp.ndarray,   # (N, d) this step's key (query token's row)
+    v_self: jnp.ndarray,   # (N, d)
+    lane: jnp.ndarray,     # (S, B, T) int32 — lane holding position t's row
+    hist_valid: jnp.ndarray,  # (N, T) bool — t < pos (history positions)
+    beam: int,
+    n_head: int,
+) -> jnp.ndarray:
+    """Self-attention over a lazily-reordered KV cache.
+
+    Cache rows are never permuted after beam pruning; instead `lane` maps
+    each hypothesis's position t to the physical lane (0..B-1, within its
+    stream's B-row group) where that row of its lineage was written. The
+    current token's K/V never round-trips through the cache — it joins the
+    score matrix directly, so masked (non-stepping) streams read no
+    just-written rows."""
+    n, t, d = k.shape
+    s = n // beam
+    dk = d // n_head
+    k_hist = jnp.take_along_axis(
+        k.reshape(s, beam, t, d), lane[..., None], axis=1
+    ).reshape(n, t, d)
+    v_hist = jnp.take_along_axis(
+        v.reshape(s, beam, t, d), lane[..., None], axis=1
+    ).reshape(n, t, d)
+    qh = q.reshape(n, n_head, dk).astype(k.dtype)
+    kh = k_hist.reshape(n, t, n_head, dk)
+    vh = v_hist.reshape(n, t, n_head, dk)
+    scores = jnp.einsum("nhd,nthd->nht", qh, kh,
+                        preferred_element_type=jnp.float32) / math.sqrt(dk)
+    scores = jnp.where(hist_valid[:, None, :], scores, MASK_MIN)
+    self_score = jnp.einsum(
+        "nhd,nhd->nh", qh, k_self.reshape(n, n_head, dk).astype(k.dtype),
+        preferred_element_type=jnp.float32,
+    ) / math.sqrt(dk)
+    scores = jnp.concatenate([scores, self_score[:, :, None]], axis=2)
+    attn = jax.nn.softmax(scores, axis=-1)
+    hist_attn = jnp.where(hist_valid[:, None, :], attn[:, :, :t], 0.0)
+    out = jnp.einsum("nht,nthd->nhd", hist_attn.astype(v.dtype), vh,
+                     preferred_element_type=jnp.float32)
+    v_self_h = v_self.reshape(n, n_head, dk).astype(jnp.float32)
+    out = out + attn[:, :, t][:, :, None] * v_self_h
+    return out.reshape(n, d)
+
+
 # NB: no buffer donation — beam-search rewind/rollback keeps references to
 # previous cache snapshots (free under JAX immutability).
 def _attend_cross_blocked(
@@ -240,7 +290,7 @@ def _attend_cross_blocked(
     return out.reshape(n, d)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "beam"))
 def decoder_step(
     params: Params,
     pe: jnp.ndarray,
@@ -249,13 +299,26 @@ def decoder_step(
     tokens: jnp.ndarray,       # (N,) last token; hyps laid out as (S, B)
     pos: jnp.ndarray,          # (N,) position index of that token (= len-1)
     enc_len: jnp.ndarray,      # (S,) valid encoder frames per stream
+    lane: jnp.ndarray,         # (S, B, Lmax) int32 lane map (history rows)
+    write: jnp.ndarray,        # (N,) bool — write this step's rows
     cfg: ModelConfig,
+    beam: int,
 ) -> Tuple[jnp.ndarray, DecoderCache]:
     """Score the next token for N = S·B hypotheses.
 
-    Returns (log-probs (N, vocab), updated cache). Numerically equivalent to
-    reference forward_one_step (transformer_decoder.py:210-251).
-    """
+    Returns (log-probs (N, vocab), cache with this step's rows appended).
+    Numerically equivalent to reference forward_one_step
+    (transformer_decoder.py:210-251).
+
+    The KV cache is LAZILY REORDERED: rows stay where they were written
+    (hyp b's step-p row lives at lane b, position p, forever); beam pruning
+    permutes only the small `lane` index map, not the (L, N, Lmax, d)
+    buffers. This removes the full-cache gather per beam step and lets the
+    rewind/rollback snapshot drop the cache entirely (rows are append-only;
+    a rolled-back step's rows are simply never referenced again). `write`
+    masks the scatter for frozen streams, whose stale rows must survive
+    (their cached layer inputs were computed under an older encoder
+    context, exactly like the reference's cached layer outputs)."""
     n = tokens.shape[0]
     d = cfg.decoder_dim
     lmax = cache.k.shape[2]   # capacity comes from the (possibly sliced) cache
@@ -263,24 +326,28 @@ def decoder_step(
 
     x = params["embed"]["weight"][tokens] * math.sqrt(d) + pe[pos]  # (N, d)
 
-    self_valid = jnp.arange(lmax)[None, :] <= pos[:, None]          # (N, Lmax)
+    hist_valid = jnp.arange(lmax)[None, :] < pos[:, None]           # (N, Lmax)
     mem_valid = jnp.arange(tmax)[None, :] < enc_len[:, None]        # (S, Tmax)
+    # Frozen streams must not overwrite rows: out-of-range scatter indices
+    # are dropped (mode="drop").
+    pos_w = jnp.where(write, pos, lmax)
+    rows = jnp.arange(n)
 
     def body(carry, layer_in):
         h = carry  # (N, d)
         p_layer, k_l, v_l, mk_l, mv_l = layer_in
-        # Self-attention with KV cache.
+        # Self-attention with lane-mapped KV cache.
         residual = h
         hn = layer_norm(p_layer["norm1"], h)
-        # Scatter-update (row write) instead of a full-buffer masked blend:
-        # XLA performs this in place inside the decode while-loop.
-        rows = jnp.arange(n)
         k_new = linear(p_layer["self_attn"]["linear_k"], hn)
         v_new = linear(p_layer["self_attn"]["linear_v"], hn)
-        k_l = k_l.at[rows, pos].set(k_new.astype(k_l.dtype))
-        v_l = v_l.at[rows, pos].set(v_new.astype(v_l.dtype))
+        k_l = k_l.at[rows, pos_w].set(k_new.astype(k_l.dtype), mode="drop")
+        v_l = v_l.at[rows, pos_w].set(v_new.astype(v_l.dtype), mode="drop")
         q = linear(p_layer["self_attn"]["linear_q"], hn)
-        att = _attend_cached(q, k_l, v_l, self_valid, cfg.decoder_heads)
+        att = _attend_cached_lane(
+            q, k_l, v_l, k_new, v_new, lane, hist_valid, beam,
+            cfg.decoder_heads,
+        )
         h = residual + linear(p_layer["self_attn"]["linear_out"], att)
         # Cross-attention over per-stream cached memory K/V.
         residual = h
@@ -305,7 +372,3 @@ def decoder_step(
     return logp, DecoderCache(k=new_k, v=new_v)
 
 
-@jax.jit
-def reorder_cache(cache: DecoderCache, src_idx: jnp.ndarray) -> DecoderCache:
-    """Gather cache rows after beam pruning (src_idx: (N,) source hyp ids)."""
-    return DecoderCache(k=cache.k[:, src_idx], v=cache.v[:, src_idx])

@@ -29,14 +29,11 @@ def _shard_arrays(a: BeamArrays, mesh: Mesh) -> BeamArrays:
     return BeamArrays(
         yseq=_put(a.yseq, mesh, s),
         xpos=_put(a.xpos, mesh, s),
+        lane=_put(a.lane, mesh, s),
         ylen=_put(a.ylen, mesh, s),
         score=_put(a.score, mesh, s),
         score_dec=_put(a.score_dec, mesh, s),
         score_ctc=_put(a.score_ctc, mesh, s),
-        dec_cache=DecoderCache(
-            k=_put(a.dec_cache.k, mesh, P(None, "dp")),
-            v=_put(a.dec_cache.v, mesh, P(None, "dp")),
-        ),
         ctc=CTCScorerState(
             logp=_put(a.ctc.logp, mesh, s),
             enc_len=_put(a.ctc.enc_len, mesh, s),
@@ -83,6 +80,12 @@ def shard_engine(engine: StreamingEngine, mesh: Mesh) -> StreamingEngine:
     )
     engine.arrays = _shard_arrays(engine.arrays, mesh)
     engine.prev_arrays = _shard_arrays(engine.prev_arrays, mesh)
+    # The KV cache is (L, S·B, Lmax, d): shard the flat hypothesis axis
+    # (slot-major, so B-row groups stay on their slot's shard).
+    engine.dec_cache = DecoderCache(
+        k=_put(engine.dec_cache.k, mesh, P(None, "dp")),
+        v=_put(engine.dec_cache.v, mesh, P(None, "dp")),
+    )
     engine.mem_cache = MemoryCache(
         k=_put(engine.mem_cache.k, mesh, P(None, "dp")),
         v=_put(engine.mem_cache.v, mesh, P(None, "dp")),

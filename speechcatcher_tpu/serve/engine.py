@@ -53,6 +53,7 @@ from speechcatcher_tpu.models.decoder import (
     DecoderCache,
     MemoryCache,
     extend_memory_cache,
+    init_decoder_cache,
     init_memory_cache,
 )
 from speechcatcher_tpu.models.encoder import (
@@ -131,23 +132,18 @@ def _select_mem(mask: np.ndarray, a: MemoryCache, b: MemoryCache) -> MemoryCache
 
 
 def _select_arrays(mask: np.ndarray, a: BeamArrays, b: BeamArrays) -> BeamArrays:
-    """Per-stream select over every BeamArrays field (explicit layouts:
-    DecoderCache is (L, S·B, Lmax, d), everything else leads with S)."""
+    """Per-stream select over every BeamArrays field (all lead with S; the
+    decoder KV cache is lane-resident and never selected — fresh sessions
+    overwrite rows before reading them)."""
     m = jnp.asarray(mask)
-    s = int(m.shape[0])
-    beam = a.yseq.shape[1]
-    m_flat = jnp.repeat(m, beam)[None, :, None, None]   # (1, S*B, 1, 1)
     return BeamArrays(
         yseq=_sel0(m, a.yseq, b.yseq),
         xpos=_sel0(m, a.xpos, b.xpos),
+        lane=_sel0(m, a.lane, b.lane),
         ylen=_sel0(m, a.ylen, b.ylen),
         score=_sel0(m, a.score, b.score),
         score_dec=_sel0(m, a.score_dec, b.score_dec),
         score_ctc=_sel0(m, a.score_ctc, b.score_ctc),
-        dec_cache=DecoderCache(
-            k=jnp.where(m_flat, a.dec_cache.k, b.dec_cache.k),
-            v=jnp.where(m_flat, a.dec_cache.v, b.dec_cache.v),
-        ),
         ctc=CTCScorerState(
             logp=_sel0(m, a.ctc.logp, b.ctc.logp),
             enc_len=_sel0(m, a.ctc.enc_len, b.ctc.enc_len),
@@ -687,6 +683,8 @@ def _reset_program(
     fresh_arrays = init_beam_arrays(cfg, s, beam)
     fresh_mem = init_memory_cache(cfg, s)
     zero_buf = jax.tree.map(jnp.zeros_like, buffers)
+    # NB: the decoder KV cache needs no reset — rows are lane-resident and
+    # a fresh session writes position p's rows before any step reads them.
     return (
         _select_arrays(mask, fresh_arrays, arrays),
         _select_arrays(mask, fresh_arrays, prev_arrays),
@@ -706,19 +704,13 @@ def _gather_final_rows(arrays: BeamArrays, rows: jnp.ndarray, lmax: int):
             arrays.score[rows, 0])
 
 
-def _rows_arrays(a: BeamArrays, rows: jnp.ndarray, beam: int) -> BeamArrays:
-    """Gather per-stream rows out of BeamArrays (dec_cache is (L, S·B, ...):
-    gather whole B-sized row groups)."""
-    def sb(x):
-        l, s_b, lmax, d = x.shape
-        g = x.reshape(l, s_b // beam, beam, lmax, d)[:, rows]
-        return g.reshape(l, rows.shape[0] * beam, lmax, d)
-
+def _rows_arrays(a: BeamArrays, rows: jnp.ndarray) -> BeamArrays:
+    """Gather per-stream rows out of BeamArrays (all lead with S)."""
     return BeamArrays(
-        yseq=a.yseq[rows], xpos=a.xpos[rows], ylen=a.ylen[rows],
+        yseq=a.yseq[rows], xpos=a.xpos[rows], lane=a.lane[rows],
+        ylen=a.ylen[rows],
         score=a.score[rows], score_dec=a.score_dec[rows],
         score_ctc=a.score_ctc[rows],
-        dec_cache=DecoderCache(k=sb(a.dec_cache.k), v=sb(a.dec_cache.v)),
         ctc=CTCScorerState(
             logp=a.ctc.logp[rows], enc_len=a.ctc.enc_len[rows],
             r=a.ctc.r[rows], s=a.ctc.s[rows],
@@ -726,11 +718,22 @@ def _rows_arrays(a: BeamArrays, rows: jnp.ndarray, beam: int) -> BeamArrays:
     )
 
 
+def _rows_cache(c: DecoderCache, rows: jnp.ndarray, beam: int) -> DecoderCache:
+    """Gather whole B-sized row groups out of the (L, S·B, Lmax, d) cache."""
+    def sb(x):
+        l, s_b, lmax, d = x.shape
+        g = x.reshape(l, s_b // beam, beam, lmax, d)[:, rows]
+        return g.reshape(l, rows.shape[0] * beam, lmax, d)
+
+    return DecoderCache(k=sb(c.k), v=sb(c.v))
+
+
 @functools.partial(jax.jit, static_argnames=("beam",))
 def _extract_rows(
     buffers: EngineBuffers,
     arrays: BeamArrays,
     prev_arrays: BeamArrays,
+    dec_cache: DecoderCache,
     mem_cache: MemoryCache,
     prev_valid: jnp.ndarray,
     process_idx: jnp.ndarray,
@@ -747,8 +750,9 @@ def _extract_rows(
     ~F/S of the naive masked-lockstep version. One gather program."""
     return (
         jax.tree.map(lambda x: x[rows], buffers),
-        _rows_arrays(arrays, rows, beam),
-        _rows_arrays(prev_arrays, rows, beam),
+        _rows_arrays(arrays, rows),
+        _rows_arrays(prev_arrays, rows),
+        _rows_cache(dec_cache, rows, beam),
         MemoryCache(k=mem_cache.k[:, rows], v=mem_cache.v[:, rows]),
         prev_valid[rows],
         process_idx[rows],
@@ -865,6 +869,9 @@ class StreamingEngine:
         # Distinct buffers: arrays and prev_arrays are donated by the same
         # program — aliased buffers would be a double donation.
         self.prev_arrays = init_beam_arrays(cfg, self.S, beam_size)
+        # ONE lane-resident KV cache for all hypotheses (no rewind copy:
+        # rows are append-only; rollback restores the lane map instead).
+        self.dec_cache = init_decoder_cache(cfg, self.S * beam_size)
         self.prev_valid_dev = jnp.zeros((self.S,), bool)
         self.process_idx_dev = jnp.zeros((self.S,), jnp.int32)
         self.output_index_dev = jnp.zeros((self.S,), jnp.int32)
@@ -1125,6 +1132,7 @@ class StreamingEngine:
             dev_state = BlockDecodeState(
                 arrays=self.arrays,
                 prev_arrays=self.prev_arrays,
+                dec_cache=self.dec_cache,
                 prev_valid=self.prev_valid_dev,
                 process_idx=self.process_idx_dev,
                 output_index=self.output_index_dev,
@@ -1152,6 +1160,7 @@ class StreamingEngine:
             )
             self.arrays = out.arrays
             self.prev_arrays = out.prev_arrays
+            self.dec_cache = out.dec_cache
             self.prev_valid_dev = out.prev_valid
             self.process_idx_dev = out.process_idx
             self.output_index_dev = out.output_index
@@ -1230,14 +1239,11 @@ class StreamingEngine:
         st.arrays = BeamArrays(
             yseq=a.yseq[s : s + 1],
             xpos=a.xpos[s : s + 1],
+            lane=a.lane[s : s + 1],
             ylen=a.ylen[s : s + 1],
             score=a.score[s : s + 1],
             score_dec=a.score_dec[s : s + 1],
             score_ctc=a.score_ctc[s : s + 1],
-            dec_cache=DecoderCache(
-                k=a.dec_cache.k[:, s * b : (s + 1) * b],
-                v=a.dec_cache.v[:, s * b : (s + 1) * b],
-            ),
             ctc=CTCScorerState(
                 logp=a.ctc.logp[s : s + 1],
                 enc_len=a.ctc.enc_len[s : s + 1],
@@ -1245,19 +1251,20 @@ class StreamingEngine:
                 s=a.ctc.s[s : s + 1],
             ),
         )
+        st.dec_cache = DecoderCache(
+            k=self.dec_cache.k[:, s * b : (s + 1) * b],
+            v=self.dec_cache.v[:, s * b : (s + 1) * b],
+        )
         if bool(self.prev_valid_dev[s]):
             p = self.prev_arrays
             st.prev_arrays = BeamArrays(
                 yseq=p.yseq[s : s + 1],
                 xpos=p.xpos[s : s + 1],
+                lane=p.lane[s : s + 1],
                 ylen=p.ylen[s : s + 1],
                 score=p.score[s : s + 1],
                 score_dec=p.score_dec[s : s + 1],
                 score_ctc=p.score_ctc[s : s + 1],
-                dec_cache=DecoderCache(
-                    k=p.dec_cache.k[:, s * b : (s + 1) * b],
-                    v=p.dec_cache.v[:, s * b : (s + 1) * b],
-                ),
                 ctc=CTCScorerState(
                     logp=p.ctc.logp[s : s + 1],
                     enc_len=p.ctc.enc_len[s : s + 1],
@@ -1420,10 +1427,10 @@ class StreamingEngine:
         rows_list = batch + [batch[0]] * (f_pad - f_real)
         rows = jnp.asarray(np.array(rows_list, np.int32))
 
-        (cb, carr, cprev, cmem, cpv, cpi, coi) = _extract_rows(
-            self.buffers, self.arrays, self.prev_arrays, self.mem_cache,
-            self.prev_valid_dev, self.process_idx_dev, self.output_index_dev,
-            rows, self.beam,
+        (cb, carr, cprev, ccache, cmem, cpv, cpi, coi) = _extract_rows(
+            self.buffers, self.arrays, self.prev_arrays, self.dec_cache,
+            self.mem_cache, self.prev_valid_dev, self.process_idx_dev,
+            self.output_index_dev, rows, self.beam,
         )
 
         # Compact host counters.
@@ -1467,12 +1474,12 @@ class StreamingEngine:
 
         def run_round(ready: np.ndarray, new_vis: np.ndarray,
                       block_final: np.ndarray):
-            nonlocal carr, cprev, cpv, cpi, coi, cmem, vis_f
+            nonlocal carr, cprev, ccache, cpv, cpi, coi, cmem, vis_f
             n_ext = new_vis - vis_f
             assert (n_ext <= self.EXTCAP).all(), (n_ext, self.EXTCAP)
             dev_state = BlockDecodeState(
-                arrays=carr, prev_arrays=cprev, prev_valid=cpv,
-                process_idx=cpi, output_index=coi,
+                arrays=carr, prev_arrays=cprev, dec_cache=ccache,
+                prev_valid=cpv, process_idx=cpi, output_index=coi,
                 stepping=jnp.asarray(ready),
             )
             res, cmem, _ = _fused_round(
@@ -1483,7 +1490,7 @@ class StreamingEngine:
                 self.ctc_weight, self.use_bbd, self.max_length,
                 l_bound, t_bound, self.EXTCAP, self.penalty,
             )
-            carr, cprev = res.arrays, res.prev_arrays
+            carr, cprev, ccache = res.arrays, res.prev_arrays, res.dec_cache
             cpv, cpi, coi = (res.prev_valid, res.process_idx,
                              res.output_index)
             vis_f = np.where(ready, new_vis, vis_f)

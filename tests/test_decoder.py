@@ -14,7 +14,6 @@ from speechcatcher_tpu.models.decoder import (
     extend_memory_cache,
     init_decoder_cache,
     init_memory_cache,
-    reorder_cache,
 )
 
 from helpers import make_reference_modules, reference_params_to_jax, rand_feats
@@ -81,7 +80,8 @@ def _reference_batch_score(ref_decoder, yseqs, states, memory):
 
 def test_incremental_step_parity_with_reorder(setup):
     """Step the decoder 4 times with beam reordering between steps; our
-    KV-cache path must match the reference output-prefix-cache path."""
+    lazily-reordered KV-cache path (lane map, rows never permuted) must
+    match the reference output-prefix-cache path."""
     ref_decoder, params = setup
     rng = np.random.RandomState(1)
     n = 3  # hypotheses
@@ -101,6 +101,7 @@ def test_incremental_step_parity_with_reorder(setup):
     yseqs = np.full((n, 1), sos, dtype=np.int64)
     ref_states = [None] * n
     enc_len = jnp.full((1,), tm, jnp.int32)  # one stream, n beam hyps
+    lane = jnp.zeros((1, n, CFG.max_tokens), jnp.int32)
 
     for step in range(4):
         ref_logp, ref_states = _reference_batch_score(
@@ -114,7 +115,10 @@ def test_incremental_step_parity_with_reorder(setup):
             jnp.asarray(yseqs[:, -1].astype(np.int32)),
             jnp.full((n,), yseqs.shape[1] - 1, jnp.int32),
             enc_len,
+            lane,
+            jnp.ones((n,), bool),
             CFG,
+            n,
         )
         np.testing.assert_allclose(
             np.asarray(our_logp), ref_logp, rtol=2e-4, atol=2e-4,
@@ -122,6 +126,8 @@ def test_incremental_step_parity_with_reorder(setup):
         )
 
         # Simulate beam pruning: pick random source hyps + random tokens.
+        # The cache is never permuted — only the lane map is: position
+        # `step`'s rows (written by this call) live at the parents' lanes.
         src = rng.randint(0, n, size=n)
         toks = rng.randint(2, CFG.vocab_size - 1, size=n)
         yseqs = np.concatenate(
@@ -131,7 +137,8 @@ def test_incremental_step_parity_with_reorder(setup):
             [ref_states[s][layer] for layer in range(CFG.decoder_layers)]
             for s in src
         ]
-        cache = reorder_cache(cache, jnp.asarray(src, jnp.int32))
+        lane = lane[:, jnp.asarray(src)]
+        lane = lane.at[:, :, step].set(jnp.asarray(src, jnp.int32))
 
 
 def test_memory_cache_extension(setup):
