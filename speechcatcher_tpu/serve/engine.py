@@ -1509,12 +1509,14 @@ class StreamingEngine:
         if final_step.any():
             run_round(final_step, np.where(final_step, buf_f, vis_f), do_f)
 
-        # Readback: tiny compact reads.
+        # Readback: tiny compact reads. Rows padded to the F bucket so the
+        # gather program has ONE shape per (f_pad, lmax) — the exact
+        # f_real varies flush to flush and would compile a variant each.
         ylen_h = np.asarray(carr.ylen)
         lmax = self._bucket(max(int(ylen_h[:f_real].max()), 1),
                             cfg.max_tokens)
         yseq_d, xpos_d, score_d = _gather_final_rows(
-            carr, jnp.arange(f_real, dtype=jnp.int32), lmax
+            carr, jnp.arange(f_pad, dtype=jnp.int32), lmax
         )
         yseq_h = np.asarray(yseq_d)
         xpos_h = np.asarray(xpos_d)

@@ -170,3 +170,29 @@ def test_finalize_batch_long_stream_token_burst(model):
             outs.append(eng.finalize(s, a[n_chunks * CHUNK :]))
     assert len(outs[0][0]) > 100  # the burst actually happened
     assert_same(outs[0], outs[1], "long")
+
+
+def test_finalize_churn_generations(model):
+    """Steady-state churn (the serving/bench load): slots finalize and are
+    re-acquired across several generations WITHOUT any decoder-cache reset
+    (rows are lane-resident and appended before they are read). Every
+    generation's transcript must equal a fresh-engine decode of the same
+    audio."""
+    eng = make_engine(model)
+    golden = {}
+    for gen in range(3):
+        seeds = [70 + gen, 80 + gen]
+        slots = [eng.acquire_slot() for _ in seeds]
+        audios = {
+            s: synth_audio((3 + gen) * CHUNK + 700, seed=seed)
+            for s, seed in zip(slots, seeds)
+        }
+        tails = feed_engine(eng, slots, audios)
+        outs = eng.finalize_batch(tails)
+        for s, seed in zip(slots, seeds):
+            if seed not in golden:
+                fresh = make_engine(model)
+                fs = fresh.acquire_slot()
+                ftails = feed_engine(fresh, [fs], {fs: audios[s]})
+                golden[seed] = fresh.finalize_batch(ftails)[fs]
+            assert_same(outs[s], golden[seed], f"gen{gen} seed{seed}")
