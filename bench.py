@@ -45,7 +45,10 @@ FINAL_FLUSH = 4   # ticks between batched finalization flushes
 # bucket changes, the first full churn wave, AND the first finals flush
 # (its finalize-program compiles must not land in the timed window).
 WARMUP_TICKS = CHURN_PERIOD + FINAL_FLUSH + 3
-TIMED_TICKS = 12
+# 24 ticks ≈ 12 s of audio: long enough that one multi-second relay stall
+# (the tunneled chip shows rare multi-second hiccups) doesn't dominate the
+# mean-based real-time gate.
+TIMED_TICKS = 24
 # A cold XLA compile cache makes each first-visit rung pay minutes of
 # compiles through the TPU compile service; the budget must cover at least
 # the anchor rung end-to-end on a fresh machine.

@@ -531,12 +531,22 @@ def _gather_new_frames(
     """enc_out[vis : vis+extcap] per stream (garbage past the valid range).
 
     vmapped dynamic_slice = per-stream contiguous row DMA (a take_along_axis
-    here lowers to a 2.6M-element gather and costs ~70ms at S=128)."""
-    ecap = enc_out.shape[1]
-    start = jnp.clip(vis_len, 0, ecap - extcap)
+    here lowers to a 2.6M-element gather and costs ~70ms at S=128).
+
+    The buffer is zero-padded by extcap rows so the slice start never
+    clips: with a clipped start (vis > ECAP-extcap) the gathered rows no
+    longer begin at frame `vis`, and ctc_extend/extend_memory_cache — which
+    scatter new_frames[t] at position vis+t — would write the WRONG frames
+    for the last ~extcap frames of a near-capacity ring (~29 s utterances
+    at the flagship serving config)."""
+    s, ecap, d = enc_out.shape
+    padded = jnp.concatenate(
+        [enc_out, jnp.zeros((s, extcap, d), enc_out.dtype)], axis=1
+    )
+    start = jnp.clip(vis_len, 0, ecap)
     return jax.vmap(
         lambda buf, off: jax.lax.dynamic_slice_in_dim(buf, off, extcap, 0)
-    )(enc_out, start)
+    )(padded, start)
 
 
 # ---------------------------------------------------------------------------

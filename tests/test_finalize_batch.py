@@ -196,3 +196,29 @@ def test_finalize_churn_generations(model):
                 ftails = feed_engine(fresh, [fs], {fs: audios[s]})
                 golden[seed] = fresh.finalize_batch(ftails)[fs]
             assert_same(outs[s], golden[seed], f"gen{gen} seed{seed}")
+
+
+def test_finalize_near_ring_capacity_zone():
+    """Regression: when finalization extends visibility into the last
+    EXTCAP frames of the encoder ring (vis > ECAP-EXTCAP), the
+    new-frames gather must still start at frame `vis` — a clipped
+    dynamic-slice start made ctc_extend/extend_memory_cache scatter the
+    WRONG frames there (compact path only; the single-stream finalizer
+    slices the buffer directly and is exempt, which this parity check
+    exploits)."""
+    cfg = tiny_config(max_enc_frames=56)
+    m = ASRModel.random_init(cfg, seed=2)
+    a = synth_audio(7 * CHUNK + 2500, seed=4)
+    res = []
+    for use_batch in (True, False):
+        eng = StreamingEngine(m, n_slots=1, beam_size=3, chunk_samples=CHUNK)
+        s = eng.acquire_slot()
+        for i in range(7):
+            eng.tick({s: a[i * CHUNK : (i + 1) * CHUNK]})
+        if use_batch:
+            res.append(eng.finalize_batch({s: a[7 * CHUNK :]})[s])
+        else:
+            res.append(eng.finalize(s, a[7 * CHUNK :]))
+    # The final state must actually have entered the zone.
+    assert len(res[0][0]) > 40
+    assert_same(res[0], res[1], "near-capacity")
