@@ -673,6 +673,80 @@ def _fused_round(
     return out, mem_cache, packed
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "beam", "pre_beam", "ctc_weight", "use_bbd",
+                     "max_length", "l_bound", "t_bound", "extcap", "penalty"),
+    donate_argnames=("mem_cache", "state"),
+)
+def _fused_drain(
+    params,
+    dec_pe: jnp.ndarray,
+    enc_out: jnp.ndarray,
+    mem_cache: MemoryCache,
+    state: BlockDecodeState,
+    vis0: jnp.ndarray,      # (S,) visible frames at entry
+    buf: jnp.ndarray,       # (S,) total emitted encoder frames (final)
+    pb0: jnp.ndarray,       # (S,) processed-block counters at entry
+    do: jnp.ndarray,        # (S,) bool — finalizing streams
+    cfg: ModelConfig,
+    beam: int,
+    pre_beam: int,
+    ctc_weight: float,
+    use_bbd: bool,
+    max_length: int,
+    l_bound: int,
+    t_bound: int,
+    extcap: int,
+    penalty: float = 0.0,
+):
+    """Finalization drain as ONE program: an outer while_loop runs the
+    remaining full blocks (streaming semantics) and then each stream's
+    final block (block_final set, vis extends to the whole ring) — the
+    host-driven version paid one program launch + host sync per round
+    (~40-80 ms each on the relay) for a loop that is pure index
+    arithmetic. Streams progress independently: a stream enters its final
+    round as soon as it has no full block pending, exactly the per-stream
+    round sequence of the unfused loop."""
+    bs, la, hop = cfg.block_size, cfg.look_ahead, cfg.hop_size
+
+    def cond(c):
+        _st, _mem, vis, pb, fdone = c
+        cur_end = bs - la + hop * pb
+        return jnp.any((do & (cur_end < buf)) | (do & ~fdone & (buf > 0)))
+
+    def body(c):
+        st, mem, vis, pb, fdone = c
+        cur_end = bs - la + hop * pb
+        ready = do & (cur_end < buf)
+        fin = do & ~ready & ~fdone & (buf > 0)
+        new_vis = jnp.where(ready, jnp.minimum(cur_end, buf),
+                            jnp.where(fin, buf, vis))
+        n_ext = jnp.clip(new_vis - vis, 0, extcap)
+        new_frames = _gather_new_frames(enc_out, vis, cfg, extcap)
+        new_logp = ctc_log_softmax(params["ctc"], new_frames)
+        st = st._replace(
+            arrays=st.arrays._replace(
+                ctc=ctc_extend(st.arrays.ctc, new_logp, n_ext)
+            ),
+            stepping=ready | fin,
+        )
+        mem = extend_memory_cache(
+            params["decoder"], mem, new_frames, vis, cfg, n_new=n_ext
+        )
+        out = decode_block_device(
+            params, dec_pe, mem, st, jnp.where(ready | fin, new_vis, vis),
+            fin, cfg, beam, pre_beam, ctc_weight, use_bbd, max_length,
+            l_bound=l_bound, t_bound=t_bound, penalty=penalty,
+        )
+        return (out, mem, jnp.where(ready | fin, new_vis, vis),
+                jnp.where(ready, pb + 1, pb), fdone | fin)
+
+    carry = (state, mem_cache, vis0, pb0, jnp.zeros_like(do))
+    st, mem, _vis, _pb, _f = jax.lax.while_loop(cond, body, carry)
+    return st, mem
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "beam"))
 def _reset_program(
     mask: jnp.ndarray,
@@ -1482,42 +1556,39 @@ class StreamingEngine:
         l_bound = min(self.max_length + 2, cfg.max_tokens)
         t_bound = self._bucket(int(buf_f.max()) + 1, self.ECAP, floor=128)
 
-        def run_round(ready: np.ndarray, new_vis: np.ndarray,
-                      block_final: np.ndarray):
-            nonlocal carr, cprev, ccache, cpv, cpi, coi, cmem, vis_f
-            n_ext = new_vis - vis_f
-            assert (n_ext <= self.EXTCAP).all(), (n_ext, self.EXTCAP)
-            dev_state = BlockDecodeState(
-                arrays=carr, prev_arrays=cprev, dec_cache=ccache,
-                prev_valid=cpv, process_idx=cpi, output_index=coi,
-                stepping=jnp.asarray(ready),
-            )
-            res, cmem, _ = _fused_round(
-                self.model.params, self.model.dec_pe, cb.enc_out, cmem,
-                dev_state, jnp.asarray(vis_f.astype(np.int32)),
-                jnp.asarray(n_ext.astype(np.int32)),
-                jnp.asarray(block_final), cfg, self.beam, self.pre_beam,
-                self.ctc_weight, self.use_bbd, self.max_length,
-                l_bound, t_bound, self.EXTCAP, self.penalty,
-            )
-            carr, cprev, ccache = res.arrays, res.prev_arrays, res.dec_cache
-            cpv, cpi, coi = (res.prev_valid, res.process_idx,
-                             res.output_index)
-            vis_f = np.where(ready, new_vis, vis_f)
-
-        # Drain remaining full blocks (streaming semantics), then the final
-        # block with block_final set (vis extends to the whole ring).
+        # Host-side dry simulation of the drain schedule: asserts every
+        # round's extension fits EXTCAP (the device loop clips silently).
+        vis_sim, pb_sim = vis_f.copy(), pb_f.copy()
         while True:
-            cur_end = bs - la + hop_b * pb_f
+            cur_end = bs - la + hop_b * pb_sim
             ready = do_f & (cur_end < buf_f)
             if not ready.any():
                 break
-            run_round(ready, np.where(ready, cur_end, vis_f),
-                      np.zeros(f_pad, bool))
-            pb_f = np.where(ready, pb_f + 1, pb_f)
-        final_step = do_f & (buf_f > 0)
-        if final_step.any():
-            run_round(final_step, np.where(final_step, buf_f, vis_f), do_f)
+            ext = np.where(ready, np.minimum(cur_end, buf_f) - vis_sim, 0)
+            assert ext.max() <= self.EXTCAP, (ext.max(), self.EXTCAP)
+            vis_sim = np.where(ready, cur_end, vis_sim)
+            pb_sim = pb_sim + ready
+        ext = np.where(do_f & (buf_f > 0), buf_f - vis_sim, 0)
+        assert ext.max() <= self.EXTCAP, (ext.max(), self.EXTCAP)
+
+        # Drain remaining full blocks + each stream's final block in ONE
+        # device program (outer while_loop; see _fused_drain).
+        dev_state = BlockDecodeState(
+            arrays=carr, prev_arrays=cprev, dec_cache=ccache,
+            prev_valid=cpv, process_idx=cpi, output_index=coi,
+            stepping=jnp.asarray(do_f),
+        )
+        res, cmem = _fused_drain(
+            self.model.params, self.model.dec_pe, cb.enc_out, cmem,
+            dev_state,
+            jnp.asarray(vis_f.astype(np.int32)),
+            jnp.asarray(buf_f.astype(np.int32)),
+            jnp.asarray(pb_f.astype(np.int32)),
+            jnp.asarray(do_f), cfg, self.beam, self.pre_beam,
+            self.ctc_weight, self.use_bbd, self.max_length,
+            l_bound, t_bound, self.EXTCAP, self.penalty,
+        )
+        carr = res.arrays
 
         # Readback: tiny compact reads. Rows padded to the F bucket so the
         # gather program has ONE shape per (f_pad, lmax) — the exact
