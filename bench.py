@@ -41,10 +41,6 @@ CHUNK_SEC = CHUNK / RATE
 # steady-state serving load.
 CHURN_PERIOD = 32
 FINAL_FLUSH = 4   # ticks between batched finalization flushes
-# Warmup covers the first beam-decode tick (~tick 4), the live-length
-# bucket changes, the first full churn wave, AND the first finals flush
-# (its finalize-program compiles must not land in the timed window).
-WARMUP_TICKS = CHURN_PERIOD + FINAL_FLUSH + 3
 # 24 ticks ≈ 12 s of audio: long enough that one multi-second relay stall
 # (the tunneled chip shows rare multi-second hiccups) doesn't dominate the
 # mean-based real-time gate.
@@ -113,11 +109,12 @@ def measure(model, n_streams: int, beam: int,
     # t_bound/l_bound buckets recompile on first crossing — a cold-cache
     # compile inside the timed window would dominate the measurement).
     # With churn, utterance ages stay <= churn_period (first finals fire
-    # from tick 1, see next_final below), so by tick churn_period+flush+3
-    # every bucket and flush width has been compiled. Without churn, ages
-    # reach warmup+TIMED_TICKS; warmup 22 keeps the timed window inside
-    # the [256, 512) visible-frames bucket (crossings at ~tick 21 / 41).
-    warmup = (churn_period + FINAL_FLUSH + 3) if churn else 22
+    # from tick 1, see next_final below), so by one full churn wave plus
+    # two flush periods every bucket, flush width, AND the first
+    # second-generation flush have been compiled/exercised. Without churn,
+    # ages reach warmup+TIMED_TICKS; warmup 22 keeps the timed window
+    # inside the [256, 512) visible-frames bucket (crossings ~tick 21/41).
+    warmup = (churn_period + 2 * FINAL_FLUSH + 8) if churn else 22
     n_ticks = warmup + TIMED_TICKS
     waves = [synth_audio((churn_period or 4) + 1, seed=k)
              for k in range(n_streams)]
@@ -302,7 +299,7 @@ def main():
         # must bank a passing result early — start at the rung that held
         # real time last round, then climb while it keeps passing. Only if
         # the anchor rung fails do the descending fallbacks run.
-        climb = [176, 208, 256]
+        climb = [176, 208, 224, 256]
         fallback = [144, 128]
         churn_period = CHURN_PERIOD
 
