@@ -47,8 +47,10 @@ FINAL_FLUSH = 4   # ticks between batched finalization flushes
 TIMED_TICKS = 24
 # A cold XLA compile cache makes each first-visit rung pay minutes of
 # compiles through the TPU compile service; the budget must cover at least
-# the anchor rung end-to-end on a fresh machine.
-TIME_BUDGET_S = 1200.0
+# the anchor rung end-to-end on a fresh machine, and ideally one climb
+# rung beyond it. Best-so-far results are emitted after every passing rung,
+# so overshooting the harness's patience only loses the later rungs.
+TIME_BUDGET_S = 2400.0
 
 
 def synth_audio(n_ticks: int, seed: int) -> np.ndarray:
@@ -345,6 +347,30 @@ def main():
               f"p95 {p95*1000:.1f} ms, with churn)", file=sys.stderr)
         return p50 if p50 < CHUNK_SEC else None
 
+    def result_json() -> str:
+        tflops = (
+            flops_tick_stream * best_s / best_p50 / 1e12
+            if best_s and best_p50 else 0.0
+        )
+        return json.dumps({
+            "metric": "concurrent_rt_streams_per_chip",
+            "value": best_s,
+            "unit": "streams",
+            "vs_baseline": round(best_s / 8.0, 2),
+            "mean_iter_ms": round((best_p50 or 0.0) * 1e3, 1),
+            "single_stream_p50_ms": round((single_p50 or 0.0) * 1e3, 1),
+            "chunk_ms": CHUNK_SEC * 1e3,
+            "finalize_churn": True,
+            "churn_period_ticks": churn_period,
+            "analytic_tflops": round(tflops, 3),
+            "platform": platform,
+            "ladder": [
+                {"streams": s, "p50_ms": round(p * 1e3, 1),
+                 "rtf": round(r, 3)}
+                for s, p, r in results
+            ],
+        })
+
     first = True
     for s in climb:
         p50 = try_rung(s, first)
@@ -352,6 +378,10 @@ def main():
         if p50 is None:
             break  # climbing stops at the first failing rung
         best_s, best_p50 = s, p50
+        # Emit the best-so-far result after EVERY passing rung: if the
+        # harness kills the run mid-ladder, the last parseable line still
+        # records the banked result.
+        print(result_json(), flush=True)
     if not best_s:
         for s in fallback:
             p50 = try_rung(s, first)
@@ -360,28 +390,7 @@ def main():
                 best_s, best_p50 = s, p50
                 break
 
-    tflops = (
-        flops_tick_stream * best_s / best_p50 / 1e12
-        if best_s and best_p50 else 0.0
-    )
-    out = {
-        "metric": "concurrent_rt_streams_per_chip",
-        "value": best_s,
-        "unit": "streams",
-        "vs_baseline": round(best_s / 8.0, 2),
-        "mean_iter_ms": round((best_p50 or 0.0) * 1e3, 1),
-        "single_stream_p50_ms": round((single_p50 or 0.0) * 1e3, 1),
-        "chunk_ms": CHUNK_SEC * 1e3,
-        "finalize_churn": True,
-        "churn_period_ticks": churn_period,
-        "analytic_tflops": round(tflops, 3),
-        "platform": platform,
-        "ladder": [
-            {"streams": s, "p50_ms": round(p * 1e3, 1), "rtf": round(r, 3)}
-            for s, p, r in results
-        ],
-    }
-    print(json.dumps(out))
+    print(result_json())
 
 
 if __name__ == "__main__":

@@ -192,28 +192,6 @@ def extend_memory_cache(
     return MemoryCache(k=new_k, v=new_v)
 
 
-def _attend_cached(
-    q: jnp.ndarray,        # (N, d) single query per hyp
-    k: jnp.ndarray,        # (N, T, d)
-    v: jnp.ndarray,        # (N, T, d)
-    valid: jnp.ndarray,    # (N, T) bool
-    n_head: int,
-) -> jnp.ndarray:
-    n, t, d = k.shape
-    dk = d // n_head
-    qh = q.reshape(n, n_head, dk).astype(k.dtype)
-    kh = k.reshape(n, t, n_head, dk)
-    vh = v.reshape(n, t, n_head, dk)
-    scores = jnp.einsum("nhd,nthd->nht", qh, kh,
-                        preferred_element_type=jnp.float32) / math.sqrt(dk)
-    scores = jnp.where(valid[:, None, :], scores, MASK_MIN)
-    attn = jax.nn.softmax(scores, axis=-1)
-    attn = jnp.where(valid[:, None, :], attn, 0.0)
-    out = jnp.einsum("nht,nthd->nhd", attn.astype(v.dtype), vh,
-                     preferred_element_type=jnp.float32)
-    return out.reshape(n, d)
-
-
 def _attend_cached_lane(
     q: jnp.ndarray,        # (N, d) single query per hyp, laid out (S, B)
     k: jnp.ndarray,        # (N, T, d) append-only lane-resident rows

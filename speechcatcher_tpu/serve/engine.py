@@ -533,20 +533,19 @@ def _gather_new_frames(
     vmapped dynamic_slice = per-stream contiguous row DMA (a take_along_axis
     here lowers to a 2.6M-element gather and costs ~70ms at S=128).
 
-    The buffer is zero-padded by extcap rows so the slice start never
-    clips: with a clipped start (vis > ECAP-extcap) the gathered rows no
-    longer begin at frame `vis`, and ctc_extend/extend_memory_cache — which
-    scatter new_frames[t] at position vis+t — would write the WRONG frames
-    for the last ~extcap frames of a near-capacity ring (~29 s utterances
-    at the flagship serving config)."""
-    s, ecap, d = enc_out.shape
-    padded = jnp.concatenate(
-        [enc_out, jnp.zeros((s, extcap, d), enc_out.dtype)], axis=1
-    )
-    start = jnp.clip(vis_len, 0, ecap)
+    The enc_out ring is ALLOCATED with extcap rows of tail padding
+    (StreamingEngine.__init__) so the slice start never clips: with a
+    clipped start (vis > ECAP-extcap) the gathered rows no longer begin at
+    frame `vis`, and ctc_extend/extend_memory_cache — which scatter
+    new_frames[t] at position vis+t — would write the WRONG frames for the
+    last ~extcap frames of a near-capacity ring (~29 s utterances at the
+    flagship serving config). Padding at allocation instead of per call
+    keeps a (S, ECAP, d) concat-copy out of the per-round hot path."""
+    ecap_padded = enc_out.shape[1]
+    start = jnp.clip(vis_len, 0, ecap_padded - extcap)
     return jax.vmap(
         lambda buf, off: jax.lax.dynamic_slice_in_dim(buf, off, extcap, 0)
-    )(padded, start)
+    )(enc_out, start)
 
 
 # ---------------------------------------------------------------------------
@@ -939,6 +938,10 @@ class StreamingEngine:
         )
         self.ECAP = cfg.max_enc_frames
         self.EXTCAP = cfg.block_size  # max frames made visible per round
+        # enc_out carries EXTCAP rows of tail padding so the new-frames
+        # gather never clips its slice start (see _gather_new_frames);
+        # writes are bounded to ECAP by the stall/overflow guards.
+        self.ECAP_PAD = self.ECAP + self.EXTCAP
 
         d = cfg.encoder_dim
         self.buffers = EngineBuffers(
@@ -1279,6 +1282,10 @@ class StreamingEngine:
 
         Returns (yseq, xpos, score) of the best final hypothesis.
         """
+        if last_audio is not None and np.asarray(last_audio).dtype == np.int16:
+            # Same exact normalization as tick()/finalize_batch() — int16
+            # PCM is the advertised preferred input everywhere.
+            last_audio = np.asarray(last_audio, np.float32) / 32767.0
         c = self.c
         cfg = self.cfg
         fin = self._finalizer

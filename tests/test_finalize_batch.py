@@ -221,4 +221,31 @@ def test_finalize_near_ring_capacity_zone():
             res.append(eng.finalize(s, a[7 * CHUNK :]))
     # The final state must actually have entered the zone.
     assert len(res[0][0]) > 40
-    assert_same(res[0], res[1], "near-capacity")
+    # Tokens/xpos must be identical; the score is compared at a slightly
+    # looser tolerance — the two paths run differently-compiled programs
+    # (compact capacity-padded vs exact-length single-stream) and fp32
+    # reassociation across ~50 frames of CTC sums drifts the total by
+    # O(1e-4) relative.
+    yb, xb, sb = res[0]
+    yg, xg, sg = res[1]
+    assert list(map(int, yb)) == list(map(int, yg))
+    assert list(map(int, xb)) == list(map(int, xg))
+    assert sb == pytest.approx(sg, rel=2e-3)
+
+
+def test_finalize_accepts_int16_tail(model):
+    """engine.finalize must normalize an int16 PCM tail exactly like
+    tick()/finalize_batch() (regression: it concatenated raw +/-32767
+    samples with the normalized wave carry)."""
+    a = synth_audio(2 * CHUNK + 900, seed=31)
+    res = []
+    for as_i16 in (False, True):
+        eng = make_engine(model)
+        s = eng.acquire_slot()
+        for i in range(2):
+            eng.tick({s: a[i * CHUNK : (i + 1) * CHUNK]})
+        tail = a[2 * CHUNK :]
+        if as_i16:
+            tail = (tail * 32767.0).astype(np.int16)
+        res.append(eng.finalize(s, tail))
+    assert list(map(int, res[0][0])) == list(map(int, res[1][0]))
