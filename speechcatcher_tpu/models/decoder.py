@@ -198,43 +198,57 @@ def _attend_cached_lane(
     v: jnp.ndarray,        # (N, T, d)
     k_self: jnp.ndarray,   # (N, d) this step's key (query token's row)
     v_self: jnp.ndarray,   # (N, d)
-    lane: jnp.ndarray,     # (S, B, T) int32 — lane holding position t's row
-    hist_valid: jnp.ndarray,  # (N, T) bool — t < pos (history positions)
+    lane_onehot: jnp.ndarray,  # (S, B, B, T) one-hot of the lane map
+    hist_valid: jnp.ndarray,   # (N, T) bool — t < pos (history positions)
     beam: int,
     n_head: int,
 ) -> jnp.ndarray:
     """Self-attention over a lazily-reordered KV cache.
 
-    Cache rows are never permuted after beam pruning; instead `lane` maps
-    each hypothesis's position t to the physical lane (0..B-1, within its
-    stream's B-row group) where that row of its lineage was written. The
-    current token's K/V never round-trips through the cache — it joins the
-    score matrix directly, so masked (non-stepping) streams read no
+    Cache rows are never permuted after beam pruning; instead the lane map
+    records which physical lane (0..B-1, within the stream's B-row group)
+    holds position t's row of each hypothesis's lineage. Rather than
+    materializing lane-gathered copies of K and V (a profile showed the
+    two row gathers plus their layout/convert copies cost ~5 ms per layer
+    per beam step at S=176 — the dominant decode cost), attention runs
+    ALL-PAIRS against the B resident lanes and contracts with the one-hot
+    lane map: an extra S·B²·T·d matmul (~0.6 GFLOP, MXU noise) in exchange
+    for reading each cache slice exactly once, contiguously. Exactness:
+    the one-hot contraction selects the same rows the gather would (terms
+    with weight 0 are exactly 0).
+
+    The current token's K/V never round-trips through the cache — it joins
+    the score matrix directly, so masked (non-stepping) streams read no
     just-written rows."""
     n, t, d = k.shape
     s = n // beam
     dk = d // n_head
-    k_hist = jnp.take_along_axis(
-        k.reshape(s, beam, t, d), lane[..., None], axis=1
-    ).reshape(n, t, d)
-    v_hist = jnp.take_along_axis(
-        v.reshape(s, beam, t, d), lane[..., None], axis=1
-    ).reshape(n, t, d)
-    qh = q.reshape(n, n_head, dk).astype(k.dtype)
-    kh = k_hist.reshape(n, t, n_head, dk)
-    vh = v_hist.reshape(n, t, n_head, dk)
-    scores = jnp.einsum("nhd,nthd->nht", qh, kh,
-                        preferred_element_type=jnp.float32) / math.sqrt(dk)
+    qh = q.reshape(s, beam, n_head, dk).astype(k.dtype)
+    kh = k.reshape(s, beam, t, n_head, dk)
+    vh = v.reshape(s, beam, t, n_head, dk)
+    # scores_all[s,b,c,h,t] = q of hyp b · K row of lane c at position t.
+    scores_all = jnp.einsum(
+        "sbhd,scthd->sbcht", qh, kh, preferred_element_type=jnp.float32
+    ) / math.sqrt(dk)
+    oh = lane_onehot.astype(jnp.float32)
+    scores = jnp.einsum("sbct,sbcht->sbht", oh, scores_all)
+    scores = scores.reshape(n, n_head, t)
     scores = jnp.where(hist_valid[:, None, :], scores, MASK_MIN)
     self_score = jnp.einsum(
-        "nhd,nhd->nh", qh, k_self.reshape(n, n_head, dk).astype(k.dtype),
+        "nhd,nhd->nh", q.reshape(n, n_head, dk).astype(k.dtype),
+        k_self.reshape(n, n_head, dk).astype(k.dtype),
         preferred_element_type=jnp.float32,
     ) / math.sqrt(dk)
     scores = jnp.concatenate([scores, self_score[:, :, None]], axis=2)
     attn = jax.nn.softmax(scores, axis=-1)
     hist_attn = jnp.where(hist_valid[:, None, :], attn[:, :, :t], 0.0)
-    out = jnp.einsum("nht,nthd->nhd", hist_attn.astype(v.dtype), vh,
+    # out[b] = Σ_t w[b,t]·V[lane[b,t],t] = Σ_c Σ_t (w[b,t]·oh[b,c,t])·V[c,t]
+    w_lane = hist_attn.reshape(s, beam, n_head, t)[:, :, None] * (
+        oh[:, :, :, None, :]
+    )                                                  # (S, B, C, H, T)
+    out = jnp.einsum("sbcht,scthd->sbhd", w_lane.astype(v.dtype), vh,
                      preferred_element_type=jnp.float32)
+    out = out.reshape(n, n_head, dk)
     v_self_h = v_self.reshape(n, n_head, dk).astype(jnp.float32)
     out = out + attn[:, :, t][:, :, None] * v_self_h
     return out.reshape(n, d)
@@ -306,6 +320,11 @@ def decoder_step(
 
     hist_valid = jnp.arange(lmax)[None, :] < pos[:, None]           # (N, Lmax)
     mem_valid = jnp.arange(tmax)[None, :] < enc_len[:, None]        # (S, Tmax)
+    # One-hot lane map (layer-invariant — built once, used by every
+    # layer's all-pairs attention contraction).
+    lane_onehot = jnp.moveaxis(
+        jax.nn.one_hot(lane, beam, dtype=jnp.float32), 3, 2
+    )                                                   # (S, B, C, Lmax)
     # Frozen streams must not overwrite rows: out-of-range scatter indices
     # are dropped (mode="drop").
     pos_w = jnp.where(write, pos, lmax)
@@ -323,7 +342,7 @@ def decoder_step(
         v_l = v_l.at[rows, pos_w].set(v_new.astype(v_l.dtype), mode="drop")
         q = linear(p_layer["self_attn"]["linear_q"], hn)
         att = _attend_cached_lane(
-            q, k_l, v_l, k_new, v_new, lane, hist_valid, beam,
+            q, k_l, v_l, k_new, v_new, lane_onehot, hist_valid, beam,
             cfg.decoder_heads,
         )
         h = residual + linear(p_layer["self_attn"]["linear_out"], att)
