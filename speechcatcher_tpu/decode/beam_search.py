@@ -184,22 +184,32 @@ def _beam_step_core(
     ).astype(jnp.int32)                                          # (S, B)
 
     take2 = lambda a: jnp.take_along_axis(a, src, axis=1)
-    gather_tok = lambda a: jnp.take_along_axis(
-        jnp.take_along_axis(a, src[:, :, None].repeat(vocab, 2), axis=1),
-        chosen[:, :, None], axis=2,
-    )[:, :, 0]
+    # Per-parent one-hot (S, B, Bsrc): all lineage/score selections below
+    # contract with it instead of take_along_axis — the index-repeat
+    # gathers lower to element gathers that profiled at 3.5-9 ms each per
+    # beam step; the einsums fuse and are exact (int values < 2^24 round-
+    # trip through f32, zero-weight terms are exactly 0).
+    oh_src = jax.nn.one_hot(src, beam, dtype=jnp.float32)        # (S, B, C)
+    oh_chosen = jax.nn.one_hot(chosen, vocab, dtype=jnp.float32)  # (S, B, V)
 
-    new_yseq = jnp.take_along_axis(
-        arrays.yseq, src[:, :, None].repeat(arrays.yseq.shape[2], 2), axis=1
-    )
+    def gather_tok(a):
+        """a[s, src[s,b], chosen[s,b]] via one-hot contraction."""
+        row = jnp.einsum("sbc,scv->sbv", oh_src, a)
+        return jnp.einsum("sbv,sbv->sb", row, oh_chosen)
+
+    def take_lineage(a):
+        """a[s, src[s,b], :] for int (S, B, L) arrays."""
+        return jnp.einsum(
+            "sbc,scl->sbl", oh_src, a.astype(jnp.float32)
+        ).astype(jnp.int32)
+
+    new_yseq = take_lineage(arrays.yseq)
     pos_onehot = jax.nn.one_hot(
         arrays.ylen[:, None].repeat(beam, 1), arrays.yseq.shape[2],
         dtype=jnp.int32,
     )
     new_yseq = new_yseq * (1 - pos_onehot) + pos_onehot * chosen[:, :, None]
-    new_xpos = jnp.take_along_axis(
-        arrays.xpos, src[:, :, None].repeat(arrays.xpos.shape[2], 2), axis=1
-    )
+    new_xpos = take_lineage(arrays.xpos)
     cur_pos = jnp.maximum(vis_len - 1, 0)                        # (S,)
     new_xpos = (
         new_xpos * (1 - pos_onehot)
@@ -208,9 +218,7 @@ def _beam_step_core(
     # Lane map: inherit the parent's lineage; this step's rows (the
     # parents' last-token K/V, position ylen-1) were written at the
     # PARENT's physical lane.
-    new_lane = jnp.take_along_axis(
-        arrays.lane, src[:, :, None].repeat(arrays.lane.shape[2], 2), axis=1
-    )
+    new_lane = take_lineage(arrays.lane)
     prev_onehot = jax.nn.one_hot(
         (arrays.ylen - 1)[:, None].repeat(beam, 1), arrays.lane.shape[2],
         dtype=jnp.int32,

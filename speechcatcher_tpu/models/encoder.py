@@ -255,9 +255,12 @@ def apply_layers_infer(
         first_ctx = jnp.where(has_past_ctx[:, None], past_l, x[:, 0, -1, :])
         shifted = jnp.concatenate([first_ctx[:, None, :], x[:, :-1, -1, :]], axis=1)
         x = x.at[:, :, 0, :].set(shifted)
-        next_l = jnp.take_along_axis(
-            x[:, :, -1, :], last_block[:, None, None].repeat(d, 2), axis=1
-        )[:, 0, :]
+        # One-hot contraction, not take_along_axis: the index-repeat gather
+        # lowers to an element gather that profiled at ~0.9 ms per layer
+        # (~16 ms/tick over 18 layers at S=176); the one-hot select of one
+        # of bn (1-2) blocks is exact and fuses.
+        oh_last = jax.nn.one_hot(last_block, bn, dtype=x.dtype)  # (B, bn)
+        next_l = jnp.einsum("bn,bnd->bd", oh_last, x[:, :, -1, :])
         return x, next_l
 
     # scan over layers: past_ctx axis 1 is the layer axis.
