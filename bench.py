@@ -301,7 +301,7 @@ def main():
         # must bank a passing result early — start at the rung that held
         # real time last round, then climb while it keeps passing. Only if
         # the anchor rung fails do the descending fallbacks run.
-        climb = [176, 208, 256, 288]
+        climb = [176, 208, 256, 288, 320]
         fallback = [144, 128]
         churn_period = CHURN_PERIOD
 
