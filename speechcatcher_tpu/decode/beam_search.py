@@ -156,7 +156,12 @@ def _beam_step_core(
 
     # --- Pre-beam: top-K by (weighted) decoder score (reference :148-154).
     k = min(pre_beam, vocab)
-    _, cand_ids = jax.lax.top_k(dec_logp, k)                     # (S, B, K)
+    # approx_max_k at recall 1.0 is EXACT and uses the TPU PartialReduce
+    # path; lax.top_k lowers to a full variadic sort of the vocab axis
+    # that profiled at ~13 ms per beam step at S=256.
+    _, cand_ids = jax.lax.approx_max_k(
+        dec_logp, k, recall_target=1.0
+    )                                                            # (S, B, K)
     cand_ids = cand_ids.astype(jnp.int32)
 
     # --- Pass 2: CTC partial scoring of the K candidates (reference :156-184).
@@ -173,7 +178,9 @@ def _beam_step_core(
 
     # --- Expand: per-hyp top-B, then global top-B of the B·B candidates
     # (reference :721-758 expands per-hyp beams then prunes by total score).
-    top_scores, top_tokens = jax.lax.top_k(combined, beam)       # (S, B, B)
+    top_scores, top_tokens = jax.lax.approx_max_k(
+        combined, beam, recall_target=1.0
+    )                                                            # (S, B, B)
     total = arrays.score[:, :, None] + top_scores                # (S, B, B)
     flat_total = total.reshape(s_dim, beam * beam)
     best_total, best_flat = jax.lax.top_k(flat_total, beam)      # (S, B)
