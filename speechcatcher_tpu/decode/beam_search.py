@@ -93,7 +93,14 @@ def restore_hypotheses(snapshot: BeamArrays, current: BeamArrays) -> BeamArrays:
     return snapshot._replace(ctc=ctc)
 
 
-def init_beam_arrays(cfg: ModelConfig, n_streams: int, beam: int) -> BeamArrays:
+def init_beam_arrays(cfg: ModelConfig, n_streams: int, beam: int,
+                     snapshot: bool = False) -> BeamArrays:
+    """Fresh beam state. snapshot=True allocates the rewind-snapshot
+    variant: its CTC log-prob ring is EMPTY (S, 0, 0) — the ring is
+    append-only and always read from the live arrays (restore_hypotheses
+    rebuilds the restored CTC state around the live ring), so a second
+    (S, V, Tcap) float32 copy (~3.2 MB/stream at the flagship config)
+    would never be read."""
     lmax = cfg.max_tokens
     yseq = jnp.zeros((n_streams, beam, lmax), jnp.int32)
     yseq = yseq.at[:, :, 0].set(cfg.sos_id)
@@ -101,6 +108,9 @@ def init_beam_arrays(cfg: ModelConfig, n_streams: int, beam: int) -> BeamArrays:
     # first step and trigger a silent recompile of the decode program.
     score = jnp.full((n_streams, beam), NEG_INF, dtype=jnp.float32)
     score = score.at[:, 0].set(0.0)  # single live hypothesis at start
+    ctc = init_ctc_state(n_streams, beam, cfg.max_enc_frames, cfg.vocab_size)
+    if snapshot:
+        ctc = ctc._replace(logp=jnp.zeros((n_streams, 0, 0)))
     return BeamArrays(
         yseq=yseq,
         xpos=jnp.zeros((n_streams, beam, lmax), jnp.int32),
@@ -109,7 +119,7 @@ def init_beam_arrays(cfg: ModelConfig, n_streams: int, beam: int) -> BeamArrays:
         score=score,
         score_dec=jnp.zeros((n_streams, beam)),
         score_ctc=jnp.zeros((n_streams, beam)),
-        ctc=init_ctc_state(n_streams, beam, cfg.max_enc_frames, cfg.vocab_size),
+        ctc=ctc,
     )
 
 
@@ -298,8 +308,19 @@ def _sel0(m: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
 
 
 def select_arrays(mask: jnp.ndarray, a: BeamArrays, b: BeamArrays) -> BeamArrays:
-    """Per-stream select over every BeamArrays field (all lead with S)."""
+    """Per-stream select over every BeamArrays field (all lead with S).
+
+    The CTC log-prob ring is special-cased: the rewind snapshot carries an
+    EMPTY (S, 0, 0) ring (init_beam_arrays snapshot=True). Selecting
+    between a live and an empty ring yields the empty one — every consumer
+    of a snapshot-role result rebuilds its CTC state around the live ring
+    (restore_hypotheses / _merge_arrays use the full arrays' ring), so the
+    ring content of a mixed select is never read."""
     m = jnp.asarray(mask)
+    if a.ctc.logp.shape == b.ctc.logp.shape:
+        logp = _sel0(m, a.ctc.logp, b.ctc.logp)
+    else:
+        logp = a.ctc.logp if a.ctc.logp.size == 0 else b.ctc.logp
     return BeamArrays(
         yseq=_sel0(m, a.yseq, b.yseq),
         xpos=_sel0(m, a.xpos, b.xpos),
@@ -309,7 +330,7 @@ def select_arrays(mask: jnp.ndarray, a: BeamArrays, b: BeamArrays) -> BeamArrays
         score_dec=_sel0(m, a.score_dec, b.score_dec),
         score_ctc=_sel0(m, a.score_ctc, b.score_ctc),
         ctc=CTCScorerState(
-            logp=_sel0(m, a.ctc.logp, b.ctc.logp),
+            logp=logp,
             enc_len=_sel0(m, a.ctc.enc_len, b.ctc.enc_len),
             r=_sel0(m, a.ctc.r, b.ctc.r),
             s=_sel0(m, a.ctc.s, b.ctc.s),
@@ -466,7 +487,7 @@ def decode_block_device(
             ctc=arrays.ctc._replace(logp=old.ctc.logp)
         )
         prev_arrays = prev_arrays._replace(
-            ctc=prev_arrays.ctc._replace(logp=old.ctc.logp)
+            ctc=prev_arrays.ctc._replace(logp=st.prev_arrays.ctc.logp)
         )
         return BlockDecodeState(
             arrays=arrays,
@@ -655,7 +676,14 @@ class BlockwiseSynchronousBeamSearch:
         if st.vis_len == 0:
             return
 
-        prev = st.prev_arrays if st.prev_arrays is not None else st.arrays
+        if st.prev_arrays is not None:
+            prev = st.prev_arrays
+        else:
+            # First-block placeholder with the snapshot-role EMPTY CTC
+            # ring, so every call compiles the same (empty-prev) variant.
+            prev = st.arrays._replace(
+                ctc=st.arrays.ctc._replace(logp=jnp.zeros((1, 0, 0)))
+            )
         dev_state = BlockDecodeState(
             arrays=st.arrays,
             prev_arrays=prev,

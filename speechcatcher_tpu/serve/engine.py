@@ -134,8 +134,13 @@ def _select_mem(mask: np.ndarray, a: MemoryCache, b: MemoryCache) -> MemoryCache
 def _select_arrays(mask: np.ndarray, a: BeamArrays, b: BeamArrays) -> BeamArrays:
     """Per-stream select over every BeamArrays field (all lead with S; the
     decoder KV cache is lane-resident and never selected — fresh sessions
-    overwrite rows before reading them)."""
+    overwrite rows before reading them). Mixed live/snapshot CTC rings
+    select to the empty snapshot ring (see beam_search.select_arrays)."""
     m = jnp.asarray(mask)
+    if a.ctc.logp.shape == b.ctc.logp.shape:
+        logp = _sel0(m, a.ctc.logp, b.ctc.logp)
+    else:
+        logp = a.ctc.logp if a.ctc.logp.size == 0 else b.ctc.logp
     return BeamArrays(
         yseq=_sel0(m, a.yseq, b.yseq),
         xpos=_sel0(m, a.xpos, b.xpos),
@@ -145,7 +150,7 @@ def _select_arrays(mask: np.ndarray, a: BeamArrays, b: BeamArrays) -> BeamArrays
         score_dec=_sel0(m, a.score_dec, b.score_dec),
         score_ctc=_sel0(m, a.score_ctc, b.score_ctc),
         ctc=CTCScorerState(
-            logp=_sel0(m, a.ctc.logp, b.ctc.logp),
+            logp=logp,
             enc_len=_sel0(m, a.ctc.enc_len, b.ctc.enc_len),
             r=_sel0(m, a.ctc.r, b.ctc.r),
             s=_sel0(m, a.ctc.s, b.ctc.s),
@@ -965,8 +970,11 @@ class StreamingEngine:
         )
         self.arrays = init_beam_arrays(cfg, self.S, beam_size)
         # Distinct buffers: arrays and prev_arrays are donated by the same
-        # program — aliased buffers would be a double donation.
-        self.prev_arrays = init_beam_arrays(cfg, self.S, beam_size)
+        # program — aliased buffers would be a double donation. The
+        # snapshot carries an EMPTY CTC log-prob ring (append-only, always
+        # read from the live arrays).
+        self.prev_arrays = init_beam_arrays(cfg, self.S, beam_size,
+                                            snapshot=True)
         # ONE lane-resident KV cache for all hypotheses (no rewind copy:
         # rows are append-only; rollback restores the lane map instead).
         self.dec_cache = init_decoder_cache(cfg, self.S * beam_size)
