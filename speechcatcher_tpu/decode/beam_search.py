@@ -78,27 +78,12 @@ class StepFlags(NamedTuple):
     repetition: jnp.ndarray    # (S,) BBD repetition detected
 
 
-def restore_hypotheses(snapshot: BeamArrays, current: BeamArrays) -> BeamArrays:
-    """Rollback/rewind restore: hypothesis state comes from the snapshot but
-    the CTC log-prob ring is append-only and keeps the current extension
-    (the reference never undoes extend_prob). Forward variables are lazily
-    re-extended over frames added after the snapshot."""
-    ctc = CTCScorerState(
-        logp=current.ctc.logp,
-        enc_len=current.ctc.enc_len,
-        r=snapshot.ctc.r,
-        s=snapshot.ctc.s,
-    )
-    ctc = ctc_refill_blank(ctc, snapshot.ctc.enc_len)
-    return snapshot._replace(ctc=ctc)
-
-
 def init_beam_arrays(cfg: ModelConfig, n_streams: int, beam: int,
                      snapshot: bool = False) -> BeamArrays:
     """Fresh beam state. snapshot=True allocates the rewind-snapshot
     variant: its CTC log-prob ring is EMPTY (S, 0, 0) — the ring is
-    append-only and always read from the live arrays (restore_hypotheses
-    rebuilds the restored CTC state around the live ring), so a second
+    append-only and always read from the live arrays (the block-loop
+    rewind rebuilds the restored CTC state around the live ring), so a second
     (S, V, Tcap) float32 copy (~3.2 MB/stream at the flagship config)
     would never be read."""
     lmax = cfg.max_tokens
@@ -314,7 +299,7 @@ def select_arrays(mask: jnp.ndarray, a: BeamArrays, b: BeamArrays) -> BeamArrays
     EMPTY (S, 0, 0) ring (init_beam_arrays snapshot=True). Selecting
     between a live and an empty ring yields the empty one — every consumer
     of a snapshot-role result rebuilds its CTC state around the live ring
-    (restore_hypotheses / _merge_arrays use the full arrays' ring), so the
+    (the block-loop restore / _merge_arrays use the full arrays' ring), so the
     ring content of a mixed select is never read."""
     m = jnp.asarray(mask)
     if a.ctc.logp.shape == b.ctc.logp.shape:
