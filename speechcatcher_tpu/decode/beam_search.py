@@ -190,19 +190,23 @@ def _beam_step_core(
     # contract with it instead of take_along_axis — the index-repeat
     # gathers lower to element gathers that profiled at 3.5-9 ms each per
     # beam step; the einsums fuse and are exact (int values < 2^24 round-
-    # trip through f32, zero-weight terms are exactly 0).
+    # trip through f32, zero-weight terms are exactly 0). Exactness REQUIRES
+    # full-f32 multiplies: the TPU default matmul precision is bf16, which
+    # corrupts integers above 256 (257→256) and rounds scores — hence the
+    # explicit Precision.HIGHEST on every selection contraction.
     oh_src = jax.nn.one_hot(src, beam, dtype=jnp.float32)        # (S, B, C)
     oh_chosen = jax.nn.one_hot(chosen, vocab, dtype=jnp.float32)  # (S, B, V)
+    _EXACT = jax.lax.Precision.HIGHEST
 
     def gather_tok(a):
         """a[s, src[s,b], chosen[s,b]] via one-hot contraction."""
-        row = jnp.einsum("sbc,scv->sbv", oh_src, a)
-        return jnp.einsum("sbv,sbv->sb", row, oh_chosen)
+        row = jnp.einsum("sbc,scv->sbv", oh_src, a, precision=_EXACT)
+        return jnp.einsum("sbv,sbv->sb", row, oh_chosen, precision=_EXACT)
 
     def take_lineage(a):
         """a[s, src[s,b], :] for int (S, B, L) arrays."""
         return jnp.einsum(
-            "sbc,scl->sbl", oh_src, a.astype(jnp.float32)
+            "sbc,scl->sbl", oh_src, a.astype(jnp.float32), precision=_EXACT
         ).astype(jnp.int32)
 
     new_yseq = take_lineage(arrays.yseq)

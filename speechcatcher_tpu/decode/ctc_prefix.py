@@ -89,7 +89,9 @@ def ctc_extend(
     onehot = onehot * (jnp.arange(t_new)[None, :] < n_new[:, None])[..., None]
     written = jnp.clip(onehot.sum(axis=1), 0.0, 1.0)             # (S, Tcap)
     logp = state.logp * (1.0 - written[:, None, :]) + jnp.einsum(
-        "stv,stm->svm", new_logp, onehot
+        "stv,stm->svm", new_logp, onehot,
+        precision=jax.lax.Precision.HIGHEST,  # exact scatter (TPU default
+        # matmul precision is bf16 and would round every appended log-prob)
     )
 
     new_len = old_len + n_new
@@ -209,7 +211,8 @@ def ctc_score_candidates(
 
     # Scatter candidates into the vocab axis (non-candidates stay logzero).
     onehot = jax.nn.one_hot(cand_ids, vocab, dtype=log_psi_c.dtype)
-    scattered = jnp.einsum("sbk,sbkv->sbv", log_psi_c, onehot)
+    scattered = jnp.einsum("sbk,sbkv->sbv", log_psi_c, onehot,
+                           precision=jax.lax.Precision.HIGHEST)
     is_cand = jnp.sum(onehot, axis=2) > 0                        # (S, B, V)
     log_psi = jnp.where(is_cand, scattered, LOGZERO)             # (S, B, V)
 

@@ -187,8 +187,13 @@ def extend_memory_cache(
         )[..., None]
     written = jnp.clip(jnp.sum(onehot, axis=1), 0.0, 1.0)  # (S, Tmax)
     keep = (1.0 - written)[None, :, :, None]
-    new_k = mem_cache.k * keep + jnp.einsum("lstd,stm->lsmd", ks, onehot)
-    new_v = mem_cache.v * keep + jnp.einsum("lstd,stm->lsmd", vs, onehot)
+    # HIGHEST: exact one-hot scatter (the TPU default multiplies in bf16,
+    # which would round the projected K/V rows being written).
+    _exact = jax.lax.Precision.HIGHEST
+    new_k = mem_cache.k * keep + jnp.einsum("lstd,stm->lsmd", ks, onehot,
+                                            precision=_exact)
+    new_v = mem_cache.v * keep + jnp.einsum("lstd,stm->lsmd", vs, onehot,
+                                            precision=_exact)
     return MemoryCache(k=new_k, v=new_v)
 
 
@@ -231,7 +236,10 @@ def _attend_cached_lane(
         "sbhd,scthd->sbcht", qh, kh, preferred_element_type=jnp.float32
     ) / math.sqrt(dk)
     oh = lane_onehot.astype(jnp.float32)
-    scores = jnp.einsum("sbct,sbcht->sbht", oh, scores_all)
+    # HIGHEST keeps the lane selection exact — the f32 scores would be
+    # rounded to bf16 by the TPU default matmul precision otherwise.
+    scores = jnp.einsum("sbct,sbcht->sbht", oh, scores_all,
+                        precision=jax.lax.Precision.HIGHEST)
     scores = scores.reshape(n, n_head, t)
     scores = jnp.where(hist_valid[:, None, :], scores, MASK_MIN)
     self_score = jnp.einsum(

@@ -83,7 +83,9 @@ def logmel_frontend(
     spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
     power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
     mel = jnp.einsum(
-        "btf,fm->btm", power, mel_fb, preferred_element_type=jnp.float32
+        "btf,fm->btm", power, mel_fb, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,  # full-f32 mel projection —
+        # bf16 (TPU default) breaks the 1e-4 parity vs torch.stft features
     )
     logmel = jnp.log(jnp.clip(mel, min=1e-10))
     return (logmel - mean) * inv_std

@@ -33,6 +33,82 @@ def make_mesh(n_devices: Optional[int] = None, tp: int = 1,
     return Mesh(devices.reshape(n_devices // tp, tp), ("dp", "tp"))
 
 
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """Join the JAX distributed runtime for multi-host (DCN) operation.
+
+    SURVEY §2.9: the collective layer is ICI (intra-pod, jax.lax
+    collectives under pjit meshes) AND DCN (multi-host, via the JAX
+    distributed runtime). Call this once per process before any other JAX
+    API; afterwards ``jax.devices()`` returns the GLOBAL device list and
+    meshes built from it ride DCN across hosts.
+
+    Returns True if the runtime was initialized, False when no coordinator
+    was given (single-host operation — a no-op, so entry points can pass
+    their CLI flags through unconditionally).
+    """
+    if coordinator_address is None:
+        return False
+    if num_processes is None or process_id is None:
+        raise ValueError(
+            "--coordinator requires --num-processes and --process-id"
+        )
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return True
+
+
+def hybrid_device_grid(devices, tp: int = 1) -> np.ndarray:
+    """Arrange a (possibly multi-host) device list as a (dp, tp) grid.
+
+    Layout rule: a tp group must never span hosts — tp traffic (psums on
+    every row-parallel matmul) must ride ICI, while the dp axis carries no
+    hot-path collectives and may span DCN. Devices are therefore grouped
+    by ``process_index`` (host) first, tp-partners drawn within a host,
+    and the dp axis enumerates host-major so consecutive dp rows stay
+    host-local as far as possible.
+
+    Pure function of the device list → unit-testable with fakes; used by
+    make_hybrid_mesh on the real global device list.
+    """
+    by_proc: Dict[int, list] = {}
+    for d in devices:
+        by_proc.setdefault(int(getattr(d, "process_index", 0)), []).append(d)
+    n_local = {len(v) for v in by_proc.values()}
+    if len(n_local) != 1:
+        raise ValueError(
+            f"hosts expose unequal local device counts: "
+            f"{ {k: len(v) for k, v in by_proc.items()} }"
+        )
+    n_local = n_local.pop()
+    if n_local % tp != 0:
+        raise ValueError(
+            f"tp={tp} does not divide the per-host device count {n_local}; "
+            "a tp group must not span hosts (its psums would ride DCN)"
+        )
+    rows = []
+    for p in sorted(by_proc):
+        local = by_proc[p]
+        for i in range(0, n_local, tp):
+            rows.append(local[i : i + tp])
+    return np.array(rows, dtype=object)
+
+
+def make_hybrid_mesh(tp: int = 1) -> Mesh:
+    """Global (dp, tp) mesh over every process's devices (DCN-aware).
+
+    Requires initialize_distributed() first on multi-host; on a single
+    host it degenerates to make_mesh(tp=tp).
+    """
+    return Mesh(hybrid_device_grid(jax.devices(), tp), ("dp", "tp"))
+
+
 def _param_spec(path: str) -> P:
     """PartitionSpec for one parameter, keyed by its pytree path.
 

@@ -107,8 +107,10 @@ def _scatter_append(
     onehot = jax.nn.one_hot(pos, cap, dtype=buf.dtype)         # (S, N, CAP)
     onehot = onehot * (jnp.arange(n)[None, :] < n_valid[:, None])[..., None]
     written = jnp.clip(onehot.sum(axis=1), 0.0, 1.0)            # (S, CAP)
+    # HIGHEST: a one-hot scatter must write values bit-exactly; the TPU
+    # default multiplies in bf16 and would round every appended frame.
     return buf * (1.0 - written[:, :, None]) + jnp.einsum(
-        "snd,snc->scd", new, onehot
+        "snd,snc->scd", new, onehot, precision=jax.lax.Precision.HIGHEST
     )
 
 
@@ -190,7 +192,8 @@ def _tick_frontend(
     spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
     power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
     mel = jnp.einsum("stf,fm->stm", power, mel_fb,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
     feats = (jnp.log(jnp.clip(mel, min=1e-10)) - mean) * inv_std
 
     feats = _roll_left(feats, trim_start)                       # valid at 0
@@ -393,7 +396,8 @@ def _final_frontend(
     spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
     power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
     mel = jnp.einsum("stf,fm->stm", power, mel_fb,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
     feats = (jnp.log(jnp.clip(mel, min=1e-10)) - mean) * inv_std
     return _roll_left(feats, trim_start)                # valid at 0
 
@@ -966,7 +970,7 @@ class StreamingEngine:
             post=jnp.zeros((self.S, self.PCAP, d)),
             prev_addin=jnp.zeros((self.S, 1, d)),
             past_ctx=jnp.zeros((self.S, cfg.encoder_layers, d)),
-            enc_out=jnp.zeros((self.S, self.ECAP, d)),
+            enc_out=jnp.zeros((self.S, self.ECAP_PAD, d)),
         )
         self.arrays = init_beam_arrays(cfg, self.S, beam_size)
         # Distinct buffers: arrays and prev_arrays are donated by the same
@@ -991,6 +995,9 @@ class StreamingEngine:
         # loop touches only the live region of the KV caches.
         self.ylen_upper = 1
         self._last_packed: Optional[np.ndarray] = None
+        # Largest new-frames gather start of the last compact drain
+        # (diagnostics; -1 until a finalize_batch ran the compact path).
+        self._last_drain_max_start = -1
         self._pending_packed = None  # device array awaiting host copy
 
         # Single-stream finalizer (shares weights; used per final chunk).
@@ -1473,6 +1480,13 @@ class StreamingEngine:
                 continue
             total = int(c.wave_len[s]) + len(a)
             total_p = max(total, win)
+            if total_p <= cfg.n_fft // 2 + 1:
+                # _final_frontend's slice-based right reflection assumes
+                # total_p > pad (true whenever win_length > n_fft/2, as in
+                # the whole zoo); exotic short-window configs route through
+                # the exact single-stream finalizer instead.
+                fallback.append(s)
+                continue
             nf = 1 + total_p // hop
             trim_start = 0 if c.first_wave[s] else self.trim
             valid_feats = nf - trim_start
@@ -1584,7 +1598,11 @@ class StreamingEngine:
 
         # Host-side dry simulation of the drain schedule: asserts every
         # round's extension fits EXTCAP (the device loop clips silently).
+        # Also records the largest gather start (visible in
+        # _last_drain_max_start) so tests can prove the near-capacity
+        # clip-regression zone (start > ECAP-EXTCAP) was actually entered.
         vis_sim, pb_sim = vis_f.copy(), pb_f.copy()
+        max_start = -1
         while True:
             cur_end = bs - la + hop_b * pb_sim
             ready = do_f & (cur_end < buf_f)
@@ -1592,10 +1610,15 @@ class StreamingEngine:
                 break
             ext = np.where(ready, np.minimum(cur_end, buf_f) - vis_sim, 0)
             assert ext.max() <= self.EXTCAP, (ext.max(), self.EXTCAP)
+            max_start = max(max_start, int(vis_sim[ready].max()))
             vis_sim = np.where(ready, cur_end, vis_sim)
             pb_sim = pb_sim + ready
-        ext = np.where(do_f & (buf_f > 0), buf_f - vis_sim, 0)
+        fin = do_f & (buf_f > 0)
+        ext = np.where(fin, buf_f - vis_sim, 0)
         assert ext.max() <= self.EXTCAP, (ext.max(), self.EXTCAP)
+        if fin.any():
+            max_start = max(max_start, int(vis_sim[fin].max()))
+        self._last_drain_max_start = max_start
 
         # Drain remaining full blocks + each stream's final block in ONE
         # device program (outer while_loop; see _fused_drain).

@@ -445,18 +445,40 @@ def main():
     parser.add_argument("--dp", type=int, default=1,
                         help="Shard stream slots over this many chips "
                         "(pure data parallelism over ICI)")
+    parser.add_argument("--coordinator", type=str, default=None,
+                        help="Coordinator address (host:port) for multi-"
+                        "host serving over DCN (jax.distributed runtime); "
+                        "omit for single-host")
+    parser.add_argument("--num-processes", type=int, default=None,
+                        help="Total number of hosts (with --coordinator)")
+    parser.add_argument("--process-id", type=int, default=None,
+                        help="This host's rank (with --coordinator)")
     parser.add_argument("--vosk-output-format", action="store_true",
                         default=True)
     parser.add_argument("--finalize-update-iters", type=int, default=6)
     parser.add_argument("--max_partial_iters", type=int, default=42)
     args = parser.parse_args()
 
+    from speechcatcher_tpu.parallel.mesh import initialize_distributed
+
+    multi_host = initialize_distributed(
+        args.coordinator, args.num_processes, args.process_id
+    )
+
     s2t = load_model(tag=args.model, beam_size=args.beamsize,
                      cache_dir=args.cache_dir)
     engine = StreamingEngine(
         s2t.model, n_slots=args.pool_size, beam_size=args.beamsize
     )
-    if args.dp > 1:
+    if multi_host:
+        # Global (dp, tp=1) mesh over every host's devices: slots shard
+        # over dp; the tick hot path stays collective-free, so dp rows on
+        # other hosts cost no DCN traffic per chunk.
+        from speechcatcher_tpu.parallel.mesh import make_hybrid_mesh
+        from speechcatcher_tpu.parallel.serve_sharding import shard_engine
+
+        engine = shard_engine(engine, make_hybrid_mesh(tp=1))
+    elif args.dp > 1:
         from speechcatcher_tpu.parallel.mesh import make_mesh
         from speechcatcher_tpu.parallel.serve_sharding import shard_engine
 

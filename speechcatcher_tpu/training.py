@@ -106,3 +106,88 @@ def train_step(
     updates, new_opt_state = optimizer.update(grads, opt_state, params)
     new_params = optax.apply_updates(params, updates)
     return new_params, new_opt_state, metrics
+
+
+def main():
+    """Minimal distributed training driver (smoke/scale harness).
+
+    Single-host: `python -m speechcatcher_tpu.training --steps 10`.
+    Multi-host over DCN: run one process per host with
+    `--coordinator host0:1234 --num-processes N --process-id i`; the mesh
+    spans every host's chips, dp gradient psums ride ICI within a host and
+    DCN across hosts (tp groups never span hosts — see
+    parallel.mesh.hybrid_device_grid).
+    """
+    import argparse
+
+    import numpy as np
+
+    parser = argparse.ArgumentParser(description="speechcatcher_tpu trainer")
+    parser.add_argument("--model-dir", type=str, default=None,
+                        help="ESPnet model dir to fine-tune (default: "
+                        "random-init from the flagship config)")
+    parser.add_argument("--steps", type=int, default=10)
+    parser.add_argument("--batch", type=int, default=8,
+                        help="GLOBAL batch size (sharded over dp)")
+    parser.add_argument("--tp", type=int, default=1)
+    parser.add_argument("--lr", type=float, default=1e-3)
+    parser.add_argument("--coordinator", type=str, default=None,
+                        help="host:port of process 0 for multi-host DCN")
+    parser.add_argument("--num-processes", type=int, default=None)
+    parser.add_argument("--process-id", type=int, default=None)
+    args = parser.parse_args()
+
+    from speechcatcher_tpu.parallel.mesh import (
+        initialize_distributed, make_hybrid_mesh, shard_batch, shard_params,
+    )
+
+    initialize_distributed(args.coordinator, args.num_processes,
+                           args.process_id)
+    mesh = make_hybrid_mesh(tp=args.tp)
+
+    if args.model_dir is not None:
+        from pathlib import Path
+
+        from speechcatcher_tpu.checkpoint import (
+            find_checkpoint, load_espnet_checkpoint,
+        )
+        params, cfg, _ = load_espnet_checkpoint(
+            find_checkpoint(Path(args.model_dir))
+        )
+    else:
+        from speechcatcher_tpu.config import ModelConfig
+        from speechcatcher_tpu.models.asr_model import ASRModel
+        cfg = ModelConfig()
+        params = ASRModel.random_init(cfg, seed=0).params
+
+    params = shard_params(params, mesh)
+    optimizer = make_optimizer(args.lr)
+    opt_state = optimizer.init(params)
+
+    rng = np.random.RandomState(0)
+    t_frames, u_tokens = 256, 24
+    for step in range(args.steps):
+        batch = TrainBatch(
+            feats=jnp.asarray(
+                rng.randn(args.batch, t_frames, cfg.n_mels), jnp.float32
+            ),
+            feat_lens=jnp.full((args.batch,), t_frames, jnp.int32),
+            tokens=jnp.asarray(
+                rng.randint(1, cfg.vocab_size - 1,
+                            (args.batch, u_tokens)), jnp.int32
+            ),
+            token_lens=jnp.full((args.batch,), u_tokens, jnp.int32),
+        )
+        batch = TrainBatch(*shard_batch(tuple(batch), mesh))
+        with mesh:
+            params, opt_state, metrics = train_step(
+                params, opt_state, batch, cfg, optimizer
+            )
+        if jax.process_index() == 0:
+            print(f"step {step}: loss {float(metrics['loss']):.4f} "
+                  f"(ctc {float(metrics['ctc']):.4f}, "
+                  f"att {float(metrics['att']):.4f})")
+
+
+if __name__ == "__main__":
+    main()

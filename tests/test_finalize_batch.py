@@ -208,17 +208,31 @@ def test_finalize_near_ring_capacity_zone():
     exploits)."""
     cfg = tiny_config(max_enc_frames=56)
     m = ASRModel.random_init(cfg, seed=2)
-    a = synth_audio(7 * CHUNK + 2500, seed=4)
+    # 7 full chunks hit the tick stall plateau (buf=42 at ECAP=56); the
+    # 5000-sample TAIL then pushes the final buf to ~56, so the drain's
+    # last gather starts at 54 > ECAP-EXTCAP=48 — deep inside the zone
+    # (verified: max_start=54; 6000 samples would overflow the ring).
+    n_chunks = 7
+    tail_len = 5000
+    a = synth_audio(n_chunks * CHUNK + tail_len, seed=4)
     res = []
     for use_batch in (True, False):
         eng = StreamingEngine(m, n_slots=1, beam_size=3, chunk_samples=CHUNK)
         s = eng.acquire_slot()
-        for i in range(7):
+        for i in range(n_chunks):
             eng.tick({s: a[i * CHUNK : (i + 1) * CHUNK]})
         if use_batch:
-            res.append(eng.finalize_batch({s: a[7 * CHUNK :]})[s])
+            res.append(eng.finalize_batch({s: a[n_chunks * CHUNK :]})[s])
+            # NOT vacuous: the engine's own drain-schedule sim must report a
+            # gather start strictly inside the clip zone, and the compact
+            # path (not the single-stream fallback) must have run.
+            zone = eng.ECAP - eng.EXTCAP
+            assert eng._last_drain_max_start > zone, (
+                f"drain gathers peaked at start={eng._last_drain_max_start} "
+                f"<= {zone}: the clip-regression zone was never exercised"
+            )
         else:
-            res.append(eng.finalize(s, a[7 * CHUNK :]))
+            res.append(eng.finalize(s, a[n_chunks * CHUNK :]))
     # The final state must actually have entered the zone.
     assert len(res[0][0]) > 40
     # Tokens/xpos must be identical; the score is compared at a slightly

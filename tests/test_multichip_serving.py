@@ -148,3 +148,78 @@ def test_tp_sharded_engine_matches_unsharded():
         assert fti(model, got[k][0], got[k][1]) == fti(
             model, golden[k][0], golden[k][1]
         ), f"stream {k}"
+
+
+# ---------------------------------------------------------------------------
+# Multi-host (DCN) mesh layout — SURVEY §2.9's DCN half. No multi-host
+# runtime exists in CI, so the layout rule (tp never spans hosts; dp
+# enumerates host-major) is tested as a pure function of a fake global
+# device list, plus a real pjit run over the grid built from the local
+# virtual devices.
+# ---------------------------------------------------------------------------
+
+class _FakeDev:
+    def __init__(self, pid, local_id):
+        self.process_index = pid
+        self.id = pid * 100 + local_id
+
+    def __repr__(self):
+        return f"dev(p{self.process_index}/{self.id})"
+
+
+def test_hybrid_grid_tp_never_spans_hosts():
+    from speechcatcher_tpu.parallel.mesh import hybrid_device_grid
+
+    devs = [_FakeDev(p, i) for p in range(4) for i in range(8)]
+    grid = hybrid_device_grid(devs, tp=4)
+    assert grid.shape == (8, 4)  # dp = 32/4
+    for row in grid:
+        procs = {d.process_index for d in row}
+        assert len(procs) == 1, f"tp group spans hosts: {row}"
+    # dp axis is host-major: each host's rows are contiguous.
+    row_proc = [row[0].process_index for row in grid]
+    assert row_proc == sorted(row_proc)
+    # Every device appears exactly once.
+    assert len({d.id for row in grid for d in row}) == 32
+
+
+def test_hybrid_grid_rejects_tp_spanning_hosts():
+    from speechcatcher_tpu.parallel.mesh import hybrid_device_grid
+
+    devs = [_FakeDev(p, i) for p in range(4) for i in range(2)]
+    with pytest.raises(ValueError, match="span hosts"):
+        hybrid_device_grid(devs, tp=4)  # 2 local devices < tp
+
+
+def test_hybrid_grid_rejects_ragged_hosts():
+    from speechcatcher_tpu.parallel.mesh import hybrid_device_grid
+
+    devs = [_FakeDev(0, i) for i in range(4)] + [_FakeDev(1, 0)]
+    with pytest.raises(ValueError, match="unequal"):
+        hybrid_device_grid(devs, tp=1)
+
+
+def test_hybrid_mesh_executes_on_local_devices():
+    """make_hybrid_mesh degenerates to a single-host (dp, tp) mesh here
+    (all virtual devices share process_index 0) and must run a sharded
+    computation end-to-end."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from speechcatcher_tpu.parallel.mesh import make_hybrid_mesh
+
+    mesh = make_hybrid_mesh(tp=2)
+    assert mesh.axis_names == ("dp", "tp")
+    assert mesh.devices.shape == (4, 2)
+    x = np.arange(8 * 6, dtype=np.float32).reshape(8, 6)
+    xs = jax.device_put(x, NamedSharding(mesh, P("dp", None)))
+    got = jax.jit(lambda a: (a * 2).sum(axis=1))(xs)
+    np.testing.assert_allclose(np.asarray(got), (x * 2).sum(axis=1))
+
+
+def test_initialize_distributed_validates_args():
+    from speechcatcher_tpu.parallel.mesh import initialize_distributed
+
+    # No coordinator → single-host no-op.
+    assert initialize_distributed(None, None, None) is False
+    with pytest.raises(ValueError, match="requires"):
+        initialize_distributed("host0:1234", None, None)
