@@ -198,7 +198,8 @@ def _build_model(on_accelerator: bool):
     from speechcatcher_tpu.models.asr_model import ASRModel
     from __graft_entry__ import _flagship_config
 
-    cfg = _flagship_config().replace(cache_dtype="bfloat16")
+    cfg = _flagship_config().replace(cache_dtype="bfloat16",
+                                     ctc_ring_dtype="bfloat16")
     if not on_accelerator:
         from speechcatcher_tpu.config import tiny_config
 

@@ -71,12 +71,27 @@ class ModelConfig:
     # matmuls still accumulate in fp32 on the MXU. CTC state stays fp32.
     cache_dtype: str = "float32"
 
+    # CTC log-prob ring storage dtype ("float32" | "bfloat16"). The ring is
+    # the largest per-stream buffer after the KV caches ((V, Tcap) ≈ 3.1 MB
+    # fp32 at the flagship serving config) and every beam step streams
+    # candidate rows out of it; bf16 halves both. Scores, forward variables
+    # and every reduction stay fp32 — consumers upcast at the gather.
+    ctc_ring_dtype: str = "float32"
+
     @property
     def cache_jnp_dtype(self):
         import jax.numpy as jnp
 
         return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
             self.cache_dtype
+        ]
+
+    @property
+    def ctc_ring_jnp_dtype(self):
+        import jax.numpy as jnp
+
+        return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
+            self.ctc_ring_dtype
         ]
 
     @property

@@ -93,9 +93,12 @@ def init_beam_arrays(cfg: ModelConfig, n_streams: int, beam: int,
     # first step and trigger a silent recompile of the decode program.
     score = jnp.full((n_streams, beam), NEG_INF, dtype=jnp.float32)
     score = score.at[:, 0].set(0.0)  # single live hypothesis at start
-    ctc = init_ctc_state(n_streams, beam, cfg.max_enc_frames, cfg.vocab_size)
+    ctc = init_ctc_state(n_streams, beam, cfg.max_enc_frames, cfg.vocab_size,
+                         ring_dtype=cfg.ctc_ring_jnp_dtype)
     if snapshot:
-        ctc = ctc._replace(logp=jnp.zeros((n_streams, 0, 0)))
+        ctc = ctc._replace(
+            logp=jnp.zeros((n_streams, 0, 0), dtype=cfg.ctc_ring_jnp_dtype)
+        )
     return BeamArrays(
         yseq=yseq,
         xpos=jnp.zeros((n_streams, beam, lmax), jnp.int32),
@@ -671,7 +674,9 @@ class BlockwiseSynchronousBeamSearch:
             # First-block placeholder with the snapshot-role EMPTY CTC
             # ring, so every call compiles the same (empty-prev) variant.
             prev = st.arrays._replace(
-                ctc=st.arrays.ctc._replace(logp=jnp.zeros((1, 0, 0)))
+                ctc=st.arrays.ctc._replace(
+                    logp=jnp.zeros((1, 0, 0), dtype=st.arrays.ctc.logp.dtype)
+                )
             )
         dev_state = BlockDecodeState(
             arrays=st.arrays,

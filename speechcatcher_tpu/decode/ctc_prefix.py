@@ -52,10 +52,14 @@ class CTCScorerState(NamedTuple):
 
 
 def init_ctc_state(
-    n_streams: int, beam: int, t_cap: int, vocab: int
+    n_streams: int, beam: int, t_cap: int, vocab: int,
+    ring_dtype=jnp.float32,
 ) -> CTCScorerState:
+    """ring_dtype: storage dtype of the log-prob ring (cfg.ctc_ring_dtype).
+    Forward variables and scores are always fp32; bf16 only changes what the
+    ring stores — consumers upcast at the gather."""
     return CTCScorerState(
-        logp=jnp.zeros((n_streams, vocab, t_cap)),
+        logp=jnp.zeros((n_streams, vocab, t_cap), dtype=ring_dtype),
         enc_len=jnp.zeros((n_streams,), jnp.int32),
         r=jnp.full((n_streams, beam, 2, t_cap), LOGZERO, dtype=jnp.float32),
         s=jnp.zeros((n_streams, beam)),
@@ -85,14 +89,16 @@ def ctc_extend(
     old_len = state.enc_len
     pos = old_len[:, None] + jnp.arange(t_new)[None, :]        # (S, Tnew)
     pos = jnp.clip(pos, 0, t_cap - 1)
-    onehot = jax.nn.one_hot(pos, t_cap, dtype=state.logp.dtype)  # (S,Tnew,Tcap)
+    ring_dtype = state.logp.dtype
+    onehot = jax.nn.one_hot(pos, t_cap, dtype=ring_dtype)      # (S,Tnew,Tcap)
     onehot = onehot * (jnp.arange(t_new)[None, :] < n_new[:, None])[..., None]
     written = jnp.clip(onehot.sum(axis=1), 0.0, 1.0)             # (S, Tcap)
     logp = state.logp * (1.0 - written[:, None, :]) + jnp.einsum(
-        "stv,stm->svm", new_logp, onehot,
-        precision=jax.lax.Precision.HIGHEST,  # exact scatter (TPU default
-        # matmul precision is bf16 and would round every appended log-prob)
-    )
+        "stv,stm->svm", new_logp.astype(ring_dtype), onehot,
+        precision=jax.lax.Precision.HIGHEST,  # exact scatter at ring
+        # precision (the TPU default would round even an fp32 ring's
+        # appended log-probs to bf16)
+    ).astype(ring_dtype)
 
     new_len = old_len + n_new
     r = _fill_blank(logp, state.r, old_len, new_len)
@@ -104,7 +110,9 @@ def _fill_blank(logp, r, from_len, to_len):
     continuation r_b[t] = r_b[t-1] + x_blank[t], r_n = logzero
     (reference extend_state :350-368)."""
     t_cap = logp.shape[2]
-    xb = logp[:, 0, :]                                           # (S, Tcap)
+    # Upcast once: the cumulative-blank sum runs over up to Tcap frames and
+    # must accumulate fp32 even when the ring stores bf16.
+    xb = logp[:, 0, :].astype(jnp.float32)                       # (S, Tcap)
     t_idx = jnp.arange(t_cap)[None, :]
     in_new = (t_idx >= from_len[:, None]) & (t_idx < to_len[:, None])
     cxb = jnp.cumsum(jnp.where(t_idx < to_len[:, None], xb, 0.0), axis=1)
@@ -185,9 +193,10 @@ def ctc_score_candidates(
         r_sum[:, :, None, :],
     )                                                            # (S, B, K, T)
 
-    # x_n rows for candidates: contiguous row gather from (S, V, T).
+    # x_n rows for candidates: contiguous row gather from (S, V, T), upcast
+    # at the gather when the ring stores bf16.
     s_idx = jnp.arange(s_dim)[:, None, None]
-    xn_c = state.logp[s_idx, cand_ids, :]                        # (S, B, K, T)
+    xn_c = state.logp[s_idx, cand_ids, :].astype(jnp.float32)   # (S, B, K, T)
 
     start = jnp.minimum(jnp.maximum(olen, 1), t_cap)             # (S,)
     end = state.enc_len                                          # (S,)
@@ -268,8 +277,10 @@ def ctc_advance_state(
     )                                                            # (S, B, T)
 
     s_idx = jnp.arange(s_dim)[:, None]
-    xn = state.logp[s_idx, token_r, :]                           # (S, B, T)
-    xb = jnp.broadcast_to(state.logp[:, None, 0, :], xn.shape)   # (S, B, T)
+    xn = state.logp[s_idx, token_r, :].astype(jnp.float32)       # (S, B, T)
+    xb = jnp.broadcast_to(
+        state.logp[:, None, 0, :].astype(jnp.float32), xn.shape
+    )                                                            # (S, B, T)
 
     start = jnp.minimum(jnp.maximum(olen, 1), t_cap)             # (S,)
     end = state.enc_len

@@ -160,6 +160,28 @@ def rel_position_attention(
     pos = linear(p["linear_pos"], pos_emb)
     pos = pos.reshape(pos_emb.shape[0], -1, n_head, dk).transpose(0, 2, 1, 3)
 
+    if (
+        mask is not None
+        and mask.ndim == 2
+        and pos.shape[0] == 1
+        and pos.shape[2] == key.shape[1]
+        and tq == key.shape[1]
+    ):
+        # Shared static geometry mask (the streaming encoder's block mask)
+        # with a shared position table: fused Pallas rel-pos attention on
+        # TPU (scores + shift + softmax + AV stay in VMEM per tile).
+        from speechcatcher_tpu.ops.pallas.rel_attention import (
+            rel_block_attention,
+        )
+        from speechcatcher_tpu.ops.pallas.block_attention import use_pallas
+
+        if use_pallas():
+            out = rel_block_attention(
+                q, k, v, pos[0], p["pos_bias_u"], p["pos_bias_v"], mask
+            )
+            out = out.transpose(0, 2, 1, 3).reshape(b, tq, d)
+            return linear(p["linear_out"], out)
+
     q_u = q + p["pos_bias_u"][None, :, None, :]
     q_v = q + p["pos_bias_v"][None, :, None, :]
     matrix_ac = jnp.einsum("bhqd,bhkd->bhqk", q_u, k,

@@ -1007,6 +1007,33 @@ class StreamingEngine:
         )
 
     # ------------------------------------------------------------------
+    # Memory accounting
+    # ------------------------------------------------------------------
+    def hbm_bytes_per_stream(self) -> Dict[str, int]:
+        """Bytes of device state per stream slot, by component.
+
+        The per-stream footprint bounds S as much as compute does (SURVEY
+        §5.7: every capacity is a compile-time shape). Weights are excluded
+        (one copy, amortized over S)."""
+        def tree_bytes(t) -> int:
+            return sum(
+                x.size * x.dtype.itemsize
+                for x in jax.tree_util.tree_leaves(t)
+                if hasattr(x, "dtype")
+            )
+
+        per = {
+            "frontend_buffers": tree_bytes(self.buffers),
+            "beam_arrays": tree_bytes(self.arrays),
+            "rewind_snapshot": tree_bytes(self.prev_arrays),
+            "decoder_kv_cache": tree_bytes(self.dec_cache),
+            "cross_kv_cache": tree_bytes(self.mem_cache),
+        }
+        return {k: v // self.S for k, v in per.items()} | {
+            "total": sum(per.values()) // self.S
+        }
+
+    # ------------------------------------------------------------------
     # Slot management
     # ------------------------------------------------------------------
     def acquire_slot(self) -> Optional[int]:

@@ -102,3 +102,54 @@ def test_block_attention_kernel_matches_xla():
                                rtol=1e-5, atol=1e-5)
     # Fully-masked query row (row 0) must be exactly zero.
     assert np.all(np.asarray(ours)[:, :, 0, :] == 0.0)
+
+
+def test_rel_block_attention_kernel_matches_xla():
+    """Pallas fused rel-pos block attention (interpret mode on CPU) must
+    equal the XLA rel_position_attention path: same pos_bias_u/v content/
+    position score split, same legacy rel_shift, same mask semantics."""
+    import numpy as np
+
+    import os
+
+    from speechcatcher_tpu.models.encoder import block_attention_mask
+    from speechcatcher_tpu.ops.conformer import (
+        init_rel_mha,
+        rel_position_attention,
+    )
+    from speechcatcher_tpu.ops.layers import linear
+    from speechcatcher_tpu.ops.pallas.rel_attention import rel_block_attention
+
+    import jax
+
+    rng = np.random.RandomState(7)
+    n, h, w = 11, 4, 42  # n deliberately not a multiple of TN
+    d = 64
+    dk = d // h
+    p = init_rel_mha(jax.random.PRNGKey(0), d, h)
+    x = jnp.asarray(rng.randn(n, w, d).astype(np.float32))
+    pos_emb = jnp.asarray(rng.randn(1, w, d).astype(np.float32))
+    mask = jnp.asarray(block_attention_mask(w - 2))
+
+    # XLA reference (the non-Pallas path of rel_position_attention).
+    os.environ["SPEECHCATCHER_NO_PALLAS"] = "1"
+    try:
+        ref = rel_position_attention(p, x, x, x, pos_emb, mask, h)
+    finally:
+        del os.environ["SPEECHCATCHER_NO_PALLAS"]
+
+    # Kernel operates post-projection: replicate the projections here.
+    def proj(name):
+        y = linear(p[name], x)
+        return y.reshape(n, w, h, dk).transpose(0, 2, 1, 3)
+
+    q, k, v = proj("linear_q"), proj("linear_k"), proj("linear_v")
+    pos = linear(p["linear_pos"], pos_emb)
+    pos = pos.reshape(1, w, h, dk).transpose(0, 2, 1, 3)[0]
+    out = rel_block_attention(
+        q, k, v, pos, p["pos_bias_u"], p["pos_bias_v"], mask, interpret=True
+    )
+    out = out.transpose(0, 2, 1, 3).reshape(n, w, d)
+    ours = linear(p["linear_out"], out)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)

@@ -148,3 +148,21 @@ def test_bf16_session_runs():
     s2t = Speech2TextStreaming(model=model, beam_size=2, dtype="bfloat16")
     results = s2t.recognize(synth_audio(1.0, seed=9))
     assert isinstance(results, list)
+
+
+def test_bf16_ctc_ring_token_parity():
+    """ctc_ring_dtype='bfloat16' halves the ring's HBM footprint/traffic;
+    the stored log-probs round to bf16 but scores/forward variables stay
+    fp32, and the decoded tokens must not move on this fixture."""
+    import dataclasses
+
+    cfg = tiny_config()
+    model32 = ASRModel.random_init(cfg, seed=4)
+    model16 = dataclasses.replace(
+        model32, cfg=dataclasses.replace(cfg, ctc_ring_dtype="bfloat16")
+    )
+    audio = synth_audio(1.5, seed=4)
+    res32 = Speech2TextStreaming(model=model32, beam_size=3).recognize(audio)
+    res16 = Speech2TextStreaming(model=model16, beam_size=3).recognize(audio)
+    assert [r[2] for r in res32] == [r[2] for r in res16]  # token ids
+    assert [r[3] for r in res32] == [r[3] for r in res16]  # positions
