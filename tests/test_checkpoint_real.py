@@ -256,3 +256,37 @@ def test_real_audio_golden_wer(real_model_dir):
     hyp = " ".join(r[0] for r in results).strip()
     wer = word_error_rate([gold_text], [hyp])["wer"]
     assert wer <= 0.15, f"WER {wer:.3f} vs golden:\n{gold_text}\n---\n{hyp}"
+
+
+def test_real_audio_validate_zoo_fixture(real_model_dir):
+    """Tier B via the validate_zoo fixtures: when the LibriVox recording
+    (scripts/validate_zoo.py AUDIO_URL) is cached and a blessed fixture is
+    committed, decode and gate WER drift — the exact check
+    `python scripts/validate_zoo.py` runs on a connected machine (mirrors
+    the reference CI smoke, .github/workflows/python-package-test.yml:27-33)."""
+    repo = Path(__file__).resolve().parent.parent
+    import sys
+
+    sys.path.insert(0, str(repo / "scripts"))
+    import validate_zoo
+
+    tag = None
+    for t in ("de_streaming_transformer_m", "de_streaming_transformer_l",
+              "de_streaming_transformer_xl"):
+        if validate_zoo.fixture_path(t).exists():
+            tag = t
+            break
+    if tag is None:
+        pytest.skip("No blessed validate_zoo fixture committed yet")
+    cache_dir = Path("~/.cache/speechcatcher_tpu").expanduser()
+    audio = cache_dir / "validate" / Path(validate_zoo.AUDIO_URL).name
+    if not audio.exists():
+        pytest.skip("LibriVox validation audio not cached "
+                    "(run scripts/validate_zoo.py once with egress)")
+
+    from speechcatcher_tpu.wer import word_error_rate
+
+    hyp = validate_zoo.decode(tag, audio, cache_dir, beam_size=5)
+    golden = validate_zoo.fixture_path(tag).read_text().strip()
+    wer = word_error_rate([golden], [hyp])["wer"]
+    assert wer <= 0.02, f"drift {wer:.3f} vs blessed fixture:\n{hyp}"
