@@ -192,24 +192,26 @@ def _beam_step_core(
     # Per-parent one-hot (S, B, Bsrc): all lineage/score selections below
     # contract with it instead of take_along_axis — the index-repeat
     # gathers lower to element gathers that profiled at 3.5-9 ms each per
-    # beam step; the einsums fuse and are exact (int values < 2^24 round-
-    # trip through f32, zero-weight terms are exactly 0). Exactness REQUIRES
-    # full-f32 multiplies: the TPU default matmul precision is bf16, which
-    # corrupts integers above 256 (257→256) and rounds scores — hence the
-    # explicit Precision.HIGHEST on every selection contraction.
+    # beam step. Exactness matters (the TPU default matmul precision is
+    # bf16, which corrupts integers above 256 — 257→256 — and rounds
+    # scores), so every selection goes through onehot_contract's bf16-limb
+    # decomposition: exact AND default-precision fast (Precision.HIGHEST
+    # is also exact but pathologically slow here — see ops/layers.py).
+    from speechcatcher_tpu.ops.layers import onehot_contract
+
     oh_src = jax.nn.one_hot(src, beam, dtype=jnp.float32)        # (S, B, C)
     oh_chosen = jax.nn.one_hot(chosen, vocab, dtype=jnp.float32)  # (S, B, V)
-    _EXACT = jax.lax.Precision.HIGHEST
 
     def gather_tok(a):
         """a[s, src[s,b], chosen[s,b]] via one-hot contraction."""
-        row = jnp.einsum("sbc,scv->sbv", oh_src, a, precision=_EXACT)
-        return jnp.einsum("sbv,sbv->sb", row, oh_chosen, precision=_EXACT)
+        row = onehot_contract("scv,sbc->sbv", a, oh_src)
+        return onehot_contract("sbv,sbv->sb", row, oh_chosen)
 
     def take_lineage(a):
-        """a[s, src[s,b], :] for int (S, B, L) arrays."""
-        return jnp.einsum(
-            "sbc,scl->sbl", oh_src, a.astype(jnp.float32), precision=_EXACT
+        """a[s, src[s,b], :] for int (S, B, L) arrays (values < 2^16 —
+        two bf16 limbs reconstruct them exactly)."""
+        return onehot_contract(
+            "scl,sbc->sbl", a.astype(jnp.float32), oh_src, limbs=2
         ).astype(jnp.int32)
 
     new_yseq = take_lineage(arrays.yseq)

@@ -32,6 +32,8 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from speechcatcher_tpu.ops.layers import onehot_contract
+
 LOGZERO = -1.0e10
 
 
@@ -93,11 +95,11 @@ def ctc_extend(
     onehot = jax.nn.one_hot(pos, t_cap, dtype=ring_dtype)      # (S,Tnew,Tcap)
     onehot = onehot * (jnp.arange(t_new)[None, :] < n_new[:, None])[..., None]
     written = jnp.clip(onehot.sum(axis=1), 0.0, 1.0)             # (S, Tcap)
-    logp = state.logp * (1.0 - written[:, None, :]) + jnp.einsum(
-        "stv,stm->svm", new_logp.astype(ring_dtype), onehot,
-        precision=jax.lax.Precision.HIGHEST,  # exact scatter at ring
-        # precision (the TPU default would round even an fp32 ring's
-        # appended log-probs to bf16)
+    # onehot_contract writes the appended log-probs exactly at ring
+    # precision without Precision.HIGHEST (pathologically slow for these
+    # outer-product-shaped scatters on TPU — see ops/layers.py).
+    logp = state.logp * (1.0 - written[:, None, :]) + onehot_contract(
+        "stv,stm->svm", new_logp.astype(ring_dtype), onehot
     ).astype(ring_dtype)
 
     new_len = old_len + n_new
@@ -220,8 +222,7 @@ def ctc_score_candidates(
 
     # Scatter candidates into the vocab axis (non-candidates stay logzero).
     onehot = jax.nn.one_hot(cand_ids, vocab, dtype=log_psi_c.dtype)
-    scattered = jnp.einsum("sbk,sbkv->sbv", log_psi_c, onehot,
-                           precision=jax.lax.Precision.HIGHEST)
+    scattered = onehot_contract("sbk,sbkv->sbv", log_psi_c, onehot)
     is_cand = jnp.sum(onehot, axis=2) > 0                        # (S, B, V)
     log_psi = jnp.where(is_cand, scattered, LOGZERO)             # (S, B, V)
 

@@ -31,6 +31,7 @@ from speechcatcher_tpu.ops.layers import (
     MASK_MIN,
     Params,
     feed_forward,
+    onehot_contract,
     init_ffn,
     init_layer_norm,
     init_linear,
@@ -187,13 +188,16 @@ def extend_memory_cache(
         )[..., None]
     written = jnp.clip(jnp.sum(onehot, axis=1), 0.0, 1.0)  # (S, Tmax)
     keep = (1.0 - written)[None, :, :, None]
-    # HIGHEST: exact one-hot scatter (the TPU default multiplies in bf16,
-    # which would round the projected K/V rows being written).
-    _exact = jax.lax.Precision.HIGHEST
-    new_k = mem_cache.k * keep + jnp.einsum("lstd,stm->lsmd", ks, onehot,
-                                            precision=_exact)
-    new_v = mem_cache.v * keep + jnp.einsum("lstd,stm->lsmd", vs, onehot,
-                                            precision=_exact)
+    # onehot_contract: exact scatter of the projected K/V rows without
+    # Precision.HIGHEST (pathologically slow for outer-product-shaped
+    # scatters on TPU — see ops/layers.py). With a bf16 cache the values
+    # are already bf16 and this is a single default-precision pass.
+    new_k = mem_cache.k * keep + onehot_contract(
+        "lstd,stm->lsmd", ks, onehot
+    ).astype(mem_cache.k.dtype)
+    new_v = mem_cache.v * keep + onehot_contract(
+        "lstd,stm->lsmd", vs, onehot
+    ).astype(mem_cache.v.dtype)
     return MemoryCache(k=new_k, v=new_v)
 
 
@@ -236,10 +240,9 @@ def _attend_cached_lane(
         "sbhd,scthd->sbcht", qh, kh, preferred_element_type=jnp.float32
     ) / math.sqrt(dk)
     oh = lane_onehot.astype(jnp.float32)
-    # HIGHEST keeps the lane selection exact — the f32 scores would be
-    # rounded to bf16 by the TPU default matmul precision otherwise.
-    scores = jnp.einsum("sbct,sbcht->sbht", oh, scores_all,
-                        precision=jax.lax.Precision.HIGHEST)
+    # onehot_contract keeps the lane selection of the f32 scores exact
+    # without Precision.HIGHEST (see ops/layers.py).
+    scores = onehot_contract("sbcht,sbct->sbht", scores_all, oh)
     scores = scores.reshape(n, n_head, t)
     scores = jnp.where(hist_valid[:, None, :], scores, MASK_MIN)
     self_score = jnp.einsum(

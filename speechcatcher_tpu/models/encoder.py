@@ -36,6 +36,7 @@ from speechcatcher_tpu.ops.layers import (
     Params,
     add_positional_encoding,
     feed_forward,
+    onehot_contract,
     init_ffn,
     init_layer_norm,
     init_linear,
@@ -260,8 +261,7 @@ def apply_layers_infer(
         # (~16 ms/tick over 18 layers at S=176); the one-hot select of one
         # of bn (1-2) blocks is exact and fuses.
         oh_last = jax.nn.one_hot(last_block, bn, dtype=x.dtype)  # (B, bn)
-        next_l = jnp.einsum("bn,bnd->bd", oh_last, x[:, :, -1, :],
-                            precision=jax.lax.Precision.HIGHEST)
+        next_l = onehot_contract("bnd,bn->bd", x[:, :, -1, :], oh_last)
         return x, next_l
 
     # scan over layers: past_ctx axis 1 is the layer axis.

@@ -60,6 +60,50 @@ def cast_params(params, dtype=None):
     )
 
 
+def onehot_contract(subscripts: str, values: jnp.ndarray,
+                    onehot: jnp.ndarray, limbs: int = 3) -> jnp.ndarray:
+    """Exact one-hot select/scatter einsum as fast bf16 MXU passes.
+
+    Every output element of these contractions receives at most ONE nonzero
+    product (the second operand is one-hot along the contracted axis), so
+    exactness only needs each value·{0,1} product to be exact. The TPU
+    DEFAULT matmul precision multiplies in bf16, which rounds f32 values
+    (and corrupts integers above 256 — 257→256); Precision.HIGHEST is
+    exact but its 6-pass f32 decomposition of these outer-product-shaped
+    contractions (tiny contracted axis, huge output) compiles to a
+    pathologically slow TPU program — observed taking S=32 serving ticks
+    from ~100 ms to minutes inside _fused_encode.
+
+    Instead: split the values into `limbs` bf16 limbs of 8 mantissa bits
+    each. Each limb is exactly representable in bf16, each limb·{0,1}
+    product is exact in ONE default-precision pass, the zero terms are
+    exactly 0, and the f32 sum of the per-limb results reconstructs the
+    full value (3 limbs cover all 24 f32 mantissa bits; 2 suffice for
+    integers < 2^16). Exact AND fast — bf16 passes at DEFAULT speed.
+
+    Returns float32; integer callers round-trip via .astype(jnp.int32).
+    """
+    if jax.default_backend() != "tpu":
+        # Non-TPU backends multiply f32 exactly at DEFAULT precision (and
+        # CPU's DotThunk rejects BF16xBF16=F32) — one plain pass is exact.
+        return jnp.einsum(subscripts, values.astype(jnp.float32),
+                          onehot.astype(jnp.float32),
+                          preferred_element_type=jnp.float32)
+    oh = onehot.astype(jnp.bfloat16)
+    if values.dtype == jnp.bfloat16:
+        return jnp.einsum(subscripts, values, oh,
+                          preferred_element_type=jnp.float32)
+    v = values.astype(jnp.float32)
+    out = None
+    for _ in range(limbs):
+        limb = v.astype(jnp.bfloat16)
+        v = v - limb.astype(jnp.float32)
+        term = jnp.einsum(subscripts, limb, oh,
+                          preferred_element_type=jnp.float32)
+        out = term if out is None else out + term
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Primitive layers
 # ---------------------------------------------------------------------------

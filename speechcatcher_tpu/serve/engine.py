@@ -62,7 +62,7 @@ from speechcatcher_tpu.models.encoder import (
     block_attention_mask,
     conv2d_subsample,
 )
-from speechcatcher_tpu.ops.layers import layer_norm
+from speechcatcher_tpu.ops.layers import layer_norm, onehot_contract
 from speechcatcher_tpu.ops.frontend import frame_signal
 
 
@@ -107,10 +107,12 @@ def _scatter_append(
     onehot = jax.nn.one_hot(pos, cap, dtype=buf.dtype)         # (S, N, CAP)
     onehot = onehot * (jnp.arange(n)[None, :] < n_valid[:, None])[..., None]
     written = jnp.clip(onehot.sum(axis=1), 0.0, 1.0)            # (S, CAP)
-    # HIGHEST: a one-hot scatter must write values bit-exactly; the TPU
-    # default multiplies in bf16 and would round every appended frame.
-    return buf * (1.0 - written[:, :, None]) + jnp.einsum(
-        "snd,snc->scd", new, onehot, precision=jax.lax.Precision.HIGHEST
+    # onehot_contract: the scatter writes values bit-exactly without
+    # Precision.HIGHEST (whose 6-pass decomposition of this outer-product-
+    # shaped contraction is pathologically slow on TPU — see ops/layers.py).
+    return (
+        buf * (1.0 - written[:, :, None])
+        + onehot_contract("snd,snc->scd", new, onehot).astype(buf.dtype)
     )
 
 

@@ -155,3 +155,48 @@ def test_list_microphones_degrades_without_pyaudio(capsys):
 
     list_microphones()  # must not raise in an env without pyaudio
     capsys.readouterr()
+
+
+def test_onehot_contract_exact_select_and_limbs():
+    """onehot_contract must be bit-exact for one-hot selects: f32 values,
+    integers > 256 (the bf16-corruption zone), and the limb decomposition
+    itself must reconstruct every f32 mantissa bit (ops/layers.py)."""
+    import jax
+    import jax.numpy as jnp
+    from speechcatcher_tpu.ops.layers import onehot_contract
+
+    rng = np.random.default_rng(0)
+    # Select rows of an int table with values spanning the full vocab range
+    # (257, 513, 999 are the documented bf16-rounding casualties).
+    table = rng.integers(0, 1024, size=(4, 8, 16)).astype(np.int32)
+    table[0, 0, :3] = [257, 513, 999]
+    idx = rng.integers(0, 8, size=(4, 6)).astype(np.int32)
+    oh = jax.nn.one_hot(idx, 8, dtype=jnp.float32)
+    got = onehot_contract(
+        "scl,sbc->sbl", jnp.asarray(table, jnp.float32), oh, limbs=2
+    ).astype(jnp.int32)
+    want = np.take_along_axis(table, idx[:, :, None], axis=1)
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+    # f32 select: exact (same elements, not approximately equal).
+    vals = rng.standard_normal((4, 8, 16)).astype(np.float32) * 1e4
+    got_f = onehot_contract("scl,sbc->sbl", jnp.asarray(vals), oh)
+    want_f = np.take_along_axis(vals, idx[:, :, None], axis=1)
+    np.testing.assert_array_equal(np.asarray(got_f), want_f)
+
+    # Limb decomposition: 3 bf16 limbs reconstruct arbitrary f32 exactly —
+    # this is the invariant the TPU branch relies on (the CPU path above
+    # doesn't exercise it, so check the math directly).
+    v = jnp.asarray(
+        np.concatenate([
+            rng.standard_normal(4096).astype(np.float32) * 1e6,
+            np.float32([257.0, 513.0, 999.0, 65535.0, 1.0 + 2.0**-23]),
+        ])
+    )
+    rem = v
+    acc = jnp.zeros_like(v)
+    for _ in range(3):
+        limb = rem.astype(jnp.bfloat16)
+        rem = rem - limb.astype(jnp.float32)
+        acc = acc + limb.astype(jnp.float32)
+    np.testing.assert_array_equal(np.asarray(acc), np.asarray(v))
