@@ -27,6 +27,7 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from typing import Optional
@@ -234,6 +235,13 @@ def _build_model(on_accelerator: bool):
         from speechcatcher_tpu.ops.layers import cast_params
 
         model.params = cast_params(model.params)
+        if os.environ.get("SC_TPU_INT8"):
+            # Opt-in weight-only int8 for the encoder linears (halves the
+            # dominant per-tick weight HBM reads; see
+            # ops/layers.py::quantize_params_int8).
+            from speechcatcher_tpu.ops.layers import quantize_params_int8
+
+            model.params = quantize_params_int8(model.params)
     return model
 
 

@@ -104,6 +104,59 @@ def onehot_contract(subscripts: str, values: jnp.ndarray,
     return out
 
 
+def quantize_params_int8(params, scope=("encoder",)):
+    """Weight-only int8 quantization of linear weights (symmetric,
+    per-output-channel): weight (…, out, in) → int8 plus an f32
+    weight_scale (…, out). Halves weight HBM traffic vs bf16 — the serving
+    bottleneck is memory bandwidth, and the encoder FFN/attention
+    projection GEMMs dominate the per-tick weight reads. The reference
+    ships its own reduced-precision attention fast path
+    (/root/reference/speechcatcher/model/attention/multi_head_attention.py:135-177);
+    this is the TPU-native analogue, opt-in (dtype="int8").
+
+    Eligibility: dicts holding a 2-D/3-D float "weight" (3-D = layer-stacked
+    linears; lax.scan slices both weight and weight_scale per layer) whose
+    path avoids norm/embed/conv — normalization and the token-embedding
+    lookup need full precision, and the conv modules consume raw weights
+    directly. `scope` limits quantization to matching path components
+    (default: encoder only; pass None for every eligible linear).
+
+    int8→bf16 casts are exact (|q| ≤ 127 < 256), so linear()'s int8 path
+    computes x_bf16 @ q_bf16 on the MXU and applies the per-channel scale
+    as an f32 epilogue — accumulation and output stay f32."""
+    def walk(node, path):
+        if isinstance(node, dict):
+            eligible = (
+                "weight" in node
+                and hasattr(node["weight"], "ndim")
+                and node["weight"].ndim in (2, 3)
+                and node["weight"].dtype in (jnp.float32, jnp.bfloat16)
+                and not any(t in path for t in ("norm", "embed", "conv"))
+                and (scope is None or any(s in path for s in scope))
+            )
+            out = {}
+            for k, v in node.items():
+                if k == "weight" and eligible:
+                    w = v.astype(jnp.float32)
+                    s = jnp.maximum(
+                        jnp.max(jnp.abs(w), axis=-1) / 127.0, 1e-12
+                    )
+                    out["weight"] = jnp.clip(
+                        jnp.round(w / s[..., None]), -127, 127
+                    ).astype(jnp.int8)
+                    out["weight_scale"] = s.astype(jnp.float32)
+                else:
+                    out[k] = walk(v, f"{path}/{k}")
+            return out
+        if isinstance(node, (list, tuple)):
+            return type(node)(
+                walk(v, f"{path}/{i}") for i, v in enumerate(node)
+            )
+        return node
+
+    return walk(params, "")
+
+
 # ---------------------------------------------------------------------------
 # Primitive layers
 # ---------------------------------------------------------------------------
@@ -113,8 +166,17 @@ def linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
 
     Mixed precision: when the weight is stored bf16 (cast_params), the input
     casts to bf16 so the matmul takes the fast MXU path; accumulation and
-    the output stay fp32."""
+    the output stay fp32. int8 weights (quantize_params_int8) multiply as
+    exact bf16 casts with a per-output-channel f32 scale epilogue."""
     w = p["weight"]
+    if w.dtype == jnp.int8:
+        y = jnp.einsum(
+            "...i,oi->...o", x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        ) * p["weight_scale"]
+        if "bias" in p:
+            y = y + p["bias"].astype(jnp.float32)
+        return y
     xin = x.astype(w.dtype) if w.dtype == jnp.bfloat16 else x
     y = jnp.einsum("...i,oi->...o", xin, w,
                    preferred_element_type=jnp.float32)

@@ -81,13 +81,21 @@ class Speech2TextStreaming:
             if model_dir is None:
                 raise ValueError("need model_dir or model")
             model = ASRModel.from_directory(Path(model_dir))
-        if dtype in ("float16", "bfloat16"):
+        if dtype in ("float16", "bfloat16", "int8"):
             # Mixed precision: bf16 matmul weights + bf16 KV caches (bf16 is
             # the TPU-native reduced precision; fp16 requests map to it).
-            from speechcatcher_tpu.ops.layers import cast_params
+            # "int8" additionally quantizes the encoder linear weights to
+            # symmetric per-channel int8 (weight-only; see
+            # ops/layers.py::quantize_params_int8).
+            from speechcatcher_tpu.ops.layers import (
+                cast_params,
+                quantize_params_int8,
+            )
 
             model.params = cast_params(model.params)
             model.cfg = model.cfg.replace(cache_dtype="bfloat16")
+            if dtype == "int8":
+                model.params = quantize_params_int8(model.params)
         self.model = model
         self.cfg = model.cfg
         self.beam_size = beam_size

@@ -166,3 +166,75 @@ def test_bf16_ctc_ring_token_parity():
     res16 = Speech2TextStreaming(model=model16, beam_size=3).recognize(audio)
     assert [r[2] for r in res32] == [r[2] for r in res16]  # token ids
     assert [r[3] for r in res32] == [r[3] for r in res16]  # positions
+
+
+def test_int8_quantize_structure_and_exactness():
+    """quantize_params_int8: only encoder linears (not norm/embed/conv)
+    gain int8 weights + per-channel scales; a weight already on the int8
+    grid must round-trip through linear() bit-exactly."""
+    import jax.numpy as jnp
+
+    from speechcatcher_tpu.ops.layers import linear, quantize_params_int8
+
+    cfg = tiny_config()
+    model = ASRModel.random_init(cfg, seed=5)
+    q = quantize_params_int8(model.params)
+
+    enc = q["encoder"]["layers"]
+    assert enc["self_attn"]["linear_q"]["weight"].dtype == jnp.int8
+    assert enc["feed_forward"]["w_1"]["weight"].dtype == jnp.int8
+    # Stacked layer axis preserved; scale is per (layer, out_channel).
+    lw = enc["feed_forward"]["w_1"]["weight"]
+    assert enc["feed_forward"]["w_1"]["weight_scale"].shape == lw.shape[:2]
+    # Untouched: norms, conv subsampling, decoder/CTC (default scope).
+    assert enc["norm1"]["weight"].dtype == jnp.float32
+    assert q["encoder"]["embed"]["convs"][0]["weight"].dtype != jnp.int8
+    assert q["decoder"]["layers"]["self_attn"]["linear_q"]["weight"].dtype \
+        != jnp.int8
+    assert q["ctc"]["ctc_lo"]["weight"].dtype != jnp.int8
+
+    # Grid weights quantize losslessly → identical linear output. Every
+    # row carries a ±127 entry so the per-channel scale reproduces the
+    # construction scale and round() recovers the integers exactly.
+    rng = np.random.default_rng(0)
+    ints = rng.integers(-127, 128, size=(8, 16)).astype(np.float32)
+    ints[:, 0] = 127.0
+    scale = np.float32(0.0123)
+    p32 = {"weight": jnp.asarray(ints * scale),
+           "bias": jnp.asarray(rng.standard_normal(8), jnp.float32)}
+    p8 = quantize_params_int8({"enc_x": p32}, scope=("enc",))["enc_x"]
+    assert p8["weight"].dtype == jnp.int8
+    x = jnp.asarray(rng.standard_normal((3, 16)), jnp.float32)
+    y32 = linear(p32, x.astype(jnp.bfloat16))
+    y8 = linear(p8, x)
+    np.testing.assert_allclose(np.asarray(y8), np.asarray(y32),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_int8_session_runs_close_to_bf16():
+    """dtype='int8' quantizes encoder linears; the session still decodes
+    and the encoder output stays within quantization-error bounds."""
+    import jax.numpy as jnp
+
+    from speechcatcher_tpu.models.encoder import encoder_forward_train
+    from speechcatcher_tpu.ops.layers import quantize_params_int8
+
+    cfg = tiny_config()
+    model = ASRModel.random_init(cfg, seed=9)
+    s2t = Speech2TextStreaming(model=model, beam_size=2, dtype="int8")
+    results = s2t.recognize(synth_audio(1.0, seed=9))
+    assert isinstance(results, list)
+
+    # Offline encoder forward: int8 output close to fp32 (weight-only
+    # per-channel quantization, ≤0.5/127 relative weight error).
+    model32 = ASRModel.random_init(cfg, seed=9)
+    feats = jnp.asarray(
+        np.random.RandomState(3).randn(1, 40, cfg.n_mels), jnp.float32
+    )
+    ilens = jnp.asarray([40])
+    y32, _ = encoder_forward_train(model32.params["encoder"], feats, ilens,
+                                   cfg)
+    y8, _ = encoder_forward_train(
+        quantize_params_int8(model32.params)["encoder"], feats, ilens, cfg)
+    err = float(jnp.max(jnp.abs(y8 - y32)) / (jnp.max(jnp.abs(y32)) + 1e-9))
+    assert err < 0.05, f"int8 encoder deviates {err:.3f} from fp32"
