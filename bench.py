@@ -261,13 +261,17 @@ def _build_model(on_accelerator: bool):
         from speechcatcher_tpu.ops.layers import cast_params
 
         model.params = cast_params(model.params)
-        if os.environ.get("SC_TPU_INT8"):
-            # Opt-in weight-only int8 for the encoder linears (halves the
-            # dominant per-tick weight HBM reads; see
-            # ops/layers.py::quantize_params_int8).
+        mode = os.environ.get("SC_TPU_INT8")
+        if mode:
+            # Opt-in weight-only int8 (see ops/layers.py::
+            # quantize_params_int8). "1"/"encoder": encoder linears only.
+            # "all": every eligible linear incl. decoder/CTC — each drain
+            # beam step re-reads ALL decoder weights, so at small drain
+            # batches (weight-bound GEMMs) int8 halves that traffic.
             from speechcatcher_tpu.ops.layers import quantize_params_int8
 
-            model.params = quantize_params_int8(model.params)
+            scope = None if mode == "all" else ("encoder",)
+            model.params = quantize_params_int8(model.params, scope=scope)
     return model
 
 

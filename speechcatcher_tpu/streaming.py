@@ -81,12 +81,15 @@ class Speech2TextStreaming:
             if model_dir is None:
                 raise ValueError("need model_dir or model")
             model = ASRModel.from_directory(Path(model_dir))
-        if dtype in ("float16", "bfloat16", "int8"):
+        if dtype in ("float16", "bfloat16", "int8", "int8-all"):
             # Mixed precision: bf16 matmul weights + bf16 KV caches (bf16 is
             # the TPU-native reduced precision; fp16 requests map to it).
             # "int8" additionally quantizes the encoder linear weights to
             # symmetric per-channel int8 (weight-only; see
-            # ops/layers.py::quantize_params_int8).
+            # ops/layers.py::quantize_params_int8); "int8-all" extends that
+            # to every eligible linear (decoder/CTC too — the drain beam
+            # steps re-read all decoder weights, so at small batches the
+            # weight-bound GEMMs halve their HBM traffic).
             from speechcatcher_tpu.ops.layers import (
                 cast_params,
                 quantize_params_int8,
@@ -96,6 +99,8 @@ class Speech2TextStreaming:
             model.cfg = model.cfg.replace(cache_dtype="bfloat16")
             if dtype == "int8":
                 model.params = quantize_params_int8(model.params)
+            elif dtype == "int8-all":
+                model.params = quantize_params_int8(model.params, scope=None)
         self.model = model
         self.cfg = model.cfg
         self.beam_size = beam_size

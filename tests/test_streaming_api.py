@@ -238,3 +238,31 @@ def test_int8_session_runs_close_to_bf16():
         quantize_params_int8(model32.params)["encoder"], feats, ilens, cfg)
     err = float(jnp.max(jnp.abs(y8 - y32)) / (jnp.max(jnp.abs(y32)) + 1e-9))
     assert err < 0.05, f"int8 encoder deviates {err:.3f} from fp32"
+
+
+def test_int8_all_quantizes_decoder_and_session_decodes():
+    """dtype='int8-all' (scope=None) quantizes decoder/CTC/output linears
+    too — every weight the drain beam step re-reads — and a session still
+    decodes. Embeddings and norms stay full precision."""
+    import jax.numpy as jnp
+
+    from speechcatcher_tpu.ops.layers import quantize_params_int8
+
+    cfg = tiny_config()
+    model = ASRModel.random_init(cfg, seed=11)
+    q = quantize_params_int8(model.params, scope=None)
+    dec = q["decoder"]["layers"]
+    assert dec["self_attn"]["linear_q"]["weight"].dtype == jnp.int8
+    assert dec["src_attn"]["linear_k"]["weight"].dtype == jnp.int8
+    assert q["decoder"]["output_layer"]["weight"].dtype == jnp.int8
+    assert q["ctc"]["ctc_lo"]["weight"].dtype == jnp.int8
+    # Full-precision islands survive: token embedding + norms.
+    assert q["decoder"]["embed"]["weight"].dtype != jnp.int8
+    assert q["encoder"]["layers"]["norm1"]["weight"].dtype == jnp.float32
+
+    model11 = ASRModel.random_init(cfg, seed=11)
+    audio = synth_audio(1.0, seed=11)
+    res8 = Speech2TextStreaming(
+        model=model11, beam_size=2, dtype="int8-all"
+    ).recognize(audio)
+    assert isinstance(res8, list)
