@@ -89,18 +89,41 @@ def ctc_extend(
     n_new = n_new.astype(jnp.int32)
 
     old_len = state.enc_len
-    pos = old_len[:, None] + jnp.arange(t_new)[None, :]        # (S, Tnew)
-    pos = jnp.clip(pos, 0, t_cap - 1)
     ring_dtype = state.logp.dtype
-    onehot = jax.nn.one_hot(pos, t_cap, dtype=ring_dtype)      # (S,Tnew,Tcap)
-    onehot = onehot * (jnp.arange(t_new)[None, :] < n_new[:, None])[..., None]
-    written = jnp.clip(onehot.sum(axis=1), 0.0, 1.0)             # (S, Tcap)
-    # onehot_contract writes the appended log-probs exactly at ring
-    # precision without Precision.HIGHEST (pathologically slow for these
-    # outer-product-shaped scatters on TPU — see ops/layers.py).
-    logp = state.logp * (1.0 - written[:, None, :]) + onehot_contract(
-        "stv,stm->svm", new_logp.astype(ring_dtype), onehot
-    ).astype(ring_dtype)
+    # Sanitize appended frames: the ring is never zeroed on slot reuse
+    # (serve/engine.py::_select_arrays) — stale rows are unreachable only
+    # while every ring value stays finite (NaN would propagate through
+    # _fill_blank's full-axis cumulative sums), so a NaN stream must not
+    # deposit non-finite log-probs.
+    new_logp = jnp.where(jnp.isfinite(new_logp), new_logp, LOGZERO)
+    if _use_pallas_recursion() and t_cap % 128 == 0:
+        # In-place windowed append on the time-minor ring (the beam-state
+        # pytree is donated by the fused engine programs): only the
+        # touched 128-lane windows move instead of the full (S, V, Tcap)
+        # ring — see ops/pallas/ring_append.py.
+        from speechcatcher_tpu.ops.pallas.ring_append import (
+            ring_append_cols,
+        )
+
+        logp = ring_append_cols(
+            state.logp,
+            jnp.swapaxes(new_logp, 1, 2).astype(ring_dtype),
+            old_len, n_new,
+        )
+    else:
+        pos = old_len[:, None] + jnp.arange(t_new)[None, :]    # (S, Tnew)
+        pos = jnp.clip(pos, 0, t_cap - 1)
+        onehot = jax.nn.one_hot(pos, t_cap, dtype=ring_dtype)  # (S,Tnew,Tcap)
+        onehot = onehot * (
+            jnp.arange(t_new)[None, :] < n_new[:, None]
+        )[..., None]
+        written = jnp.clip(onehot.sum(axis=1), 0.0, 1.0)         # (S, Tcap)
+        # onehot_contract writes the appended log-probs exactly at ring
+        # precision without Precision.HIGHEST (pathologically slow for
+        # these outer-product-shaped scatters on TPU — see ops/layers.py).
+        logp = state.logp * (1.0 - written[:, None, :]) + onehot_contract(
+            "stv,stm->svm", new_logp.astype(ring_dtype), onehot
+        ).astype(ring_dtype)
 
     new_len = old_len + n_new
     r = _fill_blank(logp, state.r, old_len, new_len)

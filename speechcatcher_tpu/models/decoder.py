@@ -172,26 +172,48 @@ def extend_memory_cache(
     def body(carry, p_layer):
         k = linear(p_layer["src_attn"]["linear_k"], new_memory)
         v = linear(p_layer["src_attn"]["linear_v"], new_memory)
+        # Sanitize appended rows: the cache is never zeroed on slot reuse
+        # (serve/engine.py::_reset_program) — stale rows are unreachable
+        # through the enc_len mask ONLY if they are finite (0·NaN = NaN
+        # would leak through the masked value contraction), so a NaN
+        # stream must not deposit non-finite rows.
+        k = jnp.where(jnp.isfinite(k), k, 0.0)
+        v = jnp.where(jnp.isfinite(v), v, 0.0)
         return carry, (k.astype(mem_cache.k.dtype),
                        v.astype(mem_cache.v.dtype))
 
     _, (ks, vs) = jax.lax.scan(body, None, params["layers"])
-    # ks: (L, S, Tnew, d). Scatter each stream's block at its enc_len offset.
+    # ks: (L, S, Tnew, d). Write each stream's block at its enc_len offset.
     t_new = new_memory.shape[1]
     tmax = mem_cache.k.shape[2]
+    if n_new is None:
+        n_new = jnp.full(enc_len.shape, t_new, jnp.int32)
+    from speechcatcher_tpu.ops.pallas.block_attention import use_pallas
+
+    if use_pallas() and tmax % 64 == 0:
+        # In-place windowed append (ops/pallas/ring_append.py): callers
+        # donate the cache, so only the written 64-row windows move —
+        # 0.96 ms vs 16.1 ms for the one-hot rewrite at the flagship
+        # serving shape (6,288,768,512) bf16 on v5e.
+        from speechcatcher_tpu.ops.pallas.ring_append import (
+            ring_append_rows,
+        )
+
+        return MemoryCache(
+            k=ring_append_rows(mem_cache.k, ks, enc_len, n_new),
+            v=ring_append_rows(mem_cache.v, vs, enc_len, n_new),
+        )
+    # XLA fallback: one-hot contraction — exact without Precision.HIGHEST
+    # (pathologically slow for outer-product-shaped scatters on TPU — see
+    # ops/layers.py), but rewrites the whole ring per append.
     pos = enc_len[:, None] + jnp.arange(t_new)[None, :]  # (S, Tnew)
     pos = jnp.clip(pos, 0, tmax - 1)
     onehot = jax.nn.one_hot(pos, tmax, dtype=mem_cache.k.dtype)  # (S,Tnew,Tmax)
-    if n_new is not None:
-        onehot = onehot * (
-            jnp.arange(t_new)[None, :] < n_new[:, None]
-        )[..., None]
+    onehot = onehot * (
+        jnp.arange(t_new)[None, :] < n_new[:, None]
+    )[..., None]
     written = jnp.clip(jnp.sum(onehot, axis=1), 0.0, 1.0)  # (S, Tmax)
     keep = (1.0 - written)[None, :, :, None]
-    # onehot_contract: exact scatter of the projected K/V rows without
-    # Precision.HIGHEST (pathologically slow for outer-product-shaped
-    # scatters on TPU — see ops/layers.py). With a bf16 cache the values
-    # are already bf16 and this is a single default-precision pass.
     new_k = mem_cache.k * keep + onehot_contract(
         "lstd,stm->lsmd", ks, onehot
     ).astype(mem_cache.k.dtype)

@@ -102,6 +102,23 @@ def _scatter_append(
     """Append new[:, :n_valid] at per-stream offsets (masked one-hot scatter)."""
     cap = buf.shape[1]
     n = new.shape[1]
+    from speechcatcher_tpu.ops.pallas.block_attention import use_pallas
+
+    if use_pallas() and cap % 64 == 0:
+        # In-place windowed append: only the touched 64-row windows move
+        # instead of the full ring (see ops/pallas/ring_append.py). The
+        # big ring this hits is enc_out (S, ECAP_PAD, d) — ECAP_PAD is
+        # rounded to a 64 multiple at allocation; the small frontend
+        # carries keep the one-hot path (their capacities are odd and
+        # their cost is noise).
+        from speechcatcher_tpu.ops.pallas.ring_append import (
+            ring_append_rows,
+        )
+
+        return ring_append_rows(
+            buf[None], new[None].astype(buf.dtype),
+            offset.astype(jnp.int32), n_valid.astype(jnp.int32),
+        )[0]
     pos = offset[:, None] + jnp.arange(n)[None, :]
     pos = jnp.clip(pos, 0, cap - 1)
     onehot = jax.nn.one_hot(pos, cap, dtype=buf.dtype)         # (S, N, CAP)
@@ -123,26 +140,35 @@ def _sel0(m: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
 
 def _select_buffers(mask: np.ndarray, a: EngineBuffers,
                     b: EngineBuffers) -> EngineBuffers:
+    """Reset the small frontend carries; the (S, ECAP_PAD, d) enc_out ring
+    is excluded — its only readers (_gather_new_frames feeding ctc_extend /
+    extend_memory_cache, both bounded by n_ext, and the drain loop bounded
+    by buf_len) never reach rows a fresh session hasn't rewritten, and
+    buf_len is host state reset on acquire. The caller passes an empty
+    enc_out placeholder so the untouched ring never crosses the program
+    boundary (a pass-through output would cost a full-ring copy)."""
     m = jnp.asarray(mask)
-    return jax.tree.map(lambda x, y: _sel0(m, x, y), a, b)
-
-
-def _select_mem(mask: np.ndarray, a: MemoryCache, b: MemoryCache) -> MemoryCache:
-    """MemoryCache leaves are (L, S, Tmax, d): select along axis 1."""
-    m = jnp.asarray(mask)[None, :, None, None]
-    return MemoryCache(
-        k=jnp.where(m, a.k, b.k), v=jnp.where(m, a.v, b.v)
-    )
+    sel = {f: _sel0(m, getattr(a, f), getattr(b, f))
+           for f in a._fields if f != "enc_out"}
+    return b._replace(**sel)
 
 
 def _select_arrays(mask: np.ndarray, a: BeamArrays, b: BeamArrays) -> BeamArrays:
     """Per-stream select over every BeamArrays field (all lead with S; the
     decoder KV cache is lane-resident and never selected — fresh sessions
     overwrite rows before reading them). Mixed live/snapshot CTC rings
-    select to the empty snapshot ring (see beam_search.select_arrays)."""
+    select to the empty snapshot ring (see beam_search.select_arrays).
+
+    The CTC log-prob ring is NOT reset either: every read is bounded by
+    ctc.enc_len (candidate gathers, the survivor recursion, _fill_blank's
+    cumulative sums all stop at the valid frame count, and enc_len itself
+    IS reset here), a fresh session's appends overwrite [0, enc_len)
+    before any read, and ctc_extend sanitizes appended values to finite
+    LOGZERO — so stale rows are unreachable. Zeroing it was a full
+    (S, V, Tcap) rewrite per reset (~3.5 ms/tick at S=288)."""
     m = jnp.asarray(mask)
     if a.ctc.logp.shape == b.ctc.logp.shape:
-        logp = _sel0(m, a.ctc.logp, b.ctc.logp)
+        logp = b.ctc.logp
     else:
         logp = a.ctc.logp if a.ctc.logp.size == 0 else b.ctc.logp
     return BeamArrays(
@@ -582,7 +608,11 @@ def _gather_new_frames(
 # ---------------------------------------------------------------------------
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "maxb", "n_fft", "hop", "subcap")
+    jax.jit, static_argnames=("cfg", "maxb", "n_fft", "hop", "subcap"),
+    # The caller replaces self.buffers with the return value immediately;
+    # donation lets the enc_out ring append run in place (without it XLA
+    # inserts a defensive full-ring copy ahead of the Pallas kernel).
+    donate_argnames=("buffers",),
 )
 def _fused_encode(
     params,
@@ -773,8 +803,7 @@ def _reset_program(
     mask: jnp.ndarray,
     arrays: BeamArrays,
     prev_arrays: BeamArrays,
-    mem_cache: MemoryCache,
-    buffers: EngineBuffers,
+    buffers: EngineBuffers,  # enc_out replaced by an empty placeholder
     prev_valid: jnp.ndarray,
     process_idx: jnp.ndarray,
     output_index: jnp.ndarray,
@@ -786,14 +815,22 @@ def _reset_program(
     pure launch latency on the TPU relay)."""
     s = mask.shape[0]
     fresh_arrays = init_beam_arrays(cfg, s, beam)
-    fresh_mem = init_memory_cache(cfg, s)
     zero_buf = jax.tree.map(jnp.zeros_like, buffers)
-    # NB: the decoder KV cache needs no reset — rows are lane-resident and
-    # a fresh session writes position p's rows before any step reads them.
+    # NB: three large per-stream buffers need no reset and pass through
+    # untouched (zeroing them was ~24 ms/tick of full-ring rewrites at
+    # S=288):
+    # - the decoder KV cache: rows are lane-resident and a fresh session
+    #   writes position p's rows before any step reads them;
+    # - the cross-attention K/V ring: every read is masked by enc_len
+    #   (models/decoder.py::_attend_cross_blocked zeroes masked weights),
+    #   enc_len IS reset here, and extend_memory_cache sanitizes appended
+    #   rows to finite values so stale garbage can never poison the
+    #   masked contraction through 0·NaN — so it no longer enters this
+    #   program at all;
+    # - the emitted-encoder ring enc_out (see _select_buffers).
     return (
         _select_arrays(mask, fresh_arrays, arrays),
         _select_arrays(mask, fresh_arrays, prev_arrays),
-        _select_mem(mask, fresh_mem, mem_cache),
         _select_buffers(mask, zero_buf, buffers),
         jnp.where(mask, False, prev_valid),
         jnp.where(mask, 0, process_idx),
@@ -963,7 +1000,10 @@ class StreamingEngine:
         # enc_out carries EXTCAP rows of tail padding so the new-frames
         # gather never clips its slice start (see _gather_new_frames);
         # writes are bounded to ECAP by the stall/overflow guards.
-        self.ECAP_PAD = self.ECAP + self.EXTCAP
+        # Rounded to a 64 multiple so _scatter_append's windowed Pallas
+        # kernel is eligible for the enc_out ring (the padding rows are
+        # dead weight: ~0.1 MB/stream).
+        self.ECAP_PAD = -(-(self.ECAP + self.EXTCAP) // 64) * 64
 
         d = cfg.encoder_dim
         self.buffers = EngineBuffers(
@@ -1065,13 +1105,20 @@ class StreamingEngine:
         for s in slots:
             self.c.reset_slot(s)
             mask[s] = True
-        (self.arrays, self.prev_arrays, self.mem_cache, self.buffers,
+        # The cross-KV cache and the enc_out ring stay out of the program:
+        # both are append-overwritten and read under enc_len/buf_len masks
+        # (see _reset_program/_select_buffers docs), and routing them
+        # through as pass-through outputs would cost full-ring copies.
+        enc_keep = self.buffers.enc_out
+        small = self.buffers._replace(enc_out=enc_keep[:, :0])
+        (self.arrays, self.prev_arrays, buf_small,
          self.prev_valid_dev, self.process_idx_dev,
          self.output_index_dev) = _reset_program(
-            jnp.asarray(mask), self.arrays, self.prev_arrays, self.mem_cache,
-            self.buffers, self.prev_valid_dev, self.process_idx_dev,
+            jnp.asarray(mask), self.arrays, self.prev_arrays,
+            small, self.prev_valid_dev, self.process_idx_dev,
             self.output_index_dev, self.cfg, self.beam,
         )
+        self.buffers = buf_small._replace(enc_out=enc_keep)
         self._slot_clean[slots] = True
         if self._last_packed is not None:
             for s in slots:

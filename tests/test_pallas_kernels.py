@@ -153,3 +153,52 @@ def test_rel_block_attention_kernel_matches_xla():
     ours = linear(p["linear_out"], out)
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_ring_append_rows_matches_numpy():
+    """In-place windowed append (rows variant): exact vs a numpy loop at
+    awkward offsets/validities, including zero-length and ring-end spans."""
+    import jax
+    from speechcatcher_tpu.ops.pallas.ring_append import ring_append_rows
+
+    rng = np.random.default_rng(0)
+    L, S, T, D, TN = 2, 9, 128, 8, 5
+    cache = rng.standard_normal((L, S, T, D)).astype(np.float32)
+    new = rng.standard_normal((L, S, TN, D)).astype(np.float32)
+    start = rng.integers(0, T, size=S).astype(np.int32)
+    start[0], start[1] = 0, T - TN          # edges
+    n_new = rng.integers(0, TN + 1, size=S).astype(np.int32)
+    n_new[2] = 0                            # no-op stream
+    ref = cache.copy()
+    for s in range(S):
+        for i in range(int(n_new[s])):
+            p = int(start[s]) + i
+            if p < T:
+                ref[:, s, p, :] = new[:, s, i, :]
+    out = np.asarray(ring_append_rows(
+        jnp.array(cache), jnp.array(new), jnp.array(start),
+        jnp.array(n_new), interpret=True))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_ring_append_cols_matches_numpy():
+    """Time-minor (CTC log-prob ring) variant: exact vs a numpy loop."""
+    from speechcatcher_tpu.ops.pallas.ring_append import ring_append_cols
+
+    rng = np.random.default_rng(1)
+    S, V, T, TN = 5, 16, 256, 40
+    ring = rng.standard_normal((S, V, T)).astype(np.float32)
+    new = rng.standard_normal((S, V, TN)).astype(np.float32)
+    start = rng.integers(0, T, size=S).astype(np.int32)
+    start[0] = T - 7                        # span hangs off the ring end
+    n_new = rng.integers(0, TN + 1, size=S).astype(np.int32)
+    ref = ring.copy()
+    for s in range(S):
+        for i in range(int(n_new[s])):
+            p = int(start[s]) + i
+            if p < T:
+                ref[s, :, p] = new[s, :, i]
+    out = np.asarray(ring_append_cols(
+        jnp.array(ring), jnp.array(new), jnp.array(start),
+        jnp.array(n_new), interpret=True))
+    np.testing.assert_array_equal(out, ref)

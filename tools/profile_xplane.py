@@ -1,0 +1,147 @@
+"""Device-op profile of the serving engine's steady-state tick.
+
+Captures a jax.profiler trace of N steady-state ticks (with finalization
+churn, like bench.py's measured window) and aggregates XLA op self-times
+from the xplane proto, attributing each op to its HLO-module (= engine
+program) and op category. This is the ground-truth "where do the
+milliseconds go" tool — tools/profile_tick.py gives phase-level numbers
+but loses dispatch overlap and double-pays axon-relay syncs.
+
+    python tools/profile_xplane.py [S] [ticks]
+
+CPU smoke: JAX_PLATFORMS=cpu python tools/profile_xplane.py 4 2 --tiny
+"""
+
+import collections
+import glob
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from speechcatcher_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+
+import bench  # noqa: E402
+from speechcatcher_tpu.serve.engine import StreamingEngine  # noqa: E402
+
+
+def aggregate(xspace_path):
+    """Sum per-op device durations from one xplane.pb, keyed by
+    (hlo_module, op_category). Line events on TPU device planes carry
+    their duration_ps; metadata stats hold the HLO category."""
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    xs = xplane_pb2.XSpace()
+    with open(xspace_path, "rb") as f:
+        xs.ParseFromString(f.read())
+
+    by_op = collections.Counter()
+    by_module = collections.Counter()
+    by_category = collections.Counter()
+    total_ps = 0
+    for plane in xs.planes:
+        if "TPU" not in plane.name and "/device:" not in plane.name:
+            continue
+        stat_names = {k: v.name for k, v in plane.stat_metadata.items()}
+        for line in plane.lines:
+            # XLA Ops line: one event per HLO op execution.
+            if line.name != "XLA Ops":
+                continue
+            for ev in line.events:
+                md = plane.event_metadata[ev.metadata_id]
+                dur = ev.duration_ps
+                total_ps += dur
+                cat = ""
+                mod = ""
+                for st in list(ev.stats) + list(md.stats):
+                    nm = stat_names.get(st.metadata_id, "")
+                    if nm == "hlo_category":
+                        cat = st.str_value or st.ref_value and "" or cat
+                        if st.str_value:
+                            cat = st.str_value
+                    elif nm in ("hlo_module", "program_id"):
+                        if st.str_value:
+                            mod = st.str_value
+                by_op[md.name] += dur
+                by_module[mod] += dur
+                by_category[cat] += dur
+    return by_op, by_module, by_category, total_ps
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    S = int(args[0]) if args else 288
+    n_ticks = int(args[1]) if len(args) > 1 else 8
+    tiny = "--tiny" in sys.argv
+    on_acc = jax.devices()[0].platform not in ("cpu",) and not tiny
+
+    model = bench._build_model(on_acc)
+    beam = 5 if on_acc else 2
+    engine = StreamingEngine(model, n_slots=S, beam_size=beam,
+                             chunk_samples=bench.CHUNK)
+    churn = bench.CHURN_PERIOD if on_acc else 5
+    waves = [bench.synth_audio(churn + 1, seed=k) for k in range(S)]
+    slots = [engine.acquire_slot() for _ in range(S)]
+    A = bench.CHUNK
+    ages = [(k * churn) // max(S, 1) for k in range(S)]
+
+    def tick(i):
+        audio = {}
+        finals = []
+        for k, s in enumerate(slots):
+            age = ages[k]
+            if age >= churn:  # utterance over: finalize + rejoin
+                finals.append(s)
+                ages[k] = 0
+                continue
+            audio[s] = waves[k][age * A:(age + 1) * A]
+            ages[k] += 1
+        if finals and i % bench.FINAL_FLUSH == 0:
+            engine.finalize_batch({s: None for s in finals})
+            for s in finals:
+                engine.release_slot(s)
+            # rejoin immediately (slots are clean after release)
+            for s in finals:
+                engine.acquire_slot()
+        engine.tick(audio)
+
+    warm = max(2 * bench.FINAL_FLUSH, 8)
+    for i in range(warm):
+        tick(i)
+    jax.block_until_ready(engine.arrays.yseq)
+
+    tracedir = tempfile.mkdtemp(prefix="xplane_")
+    with jax.profiler.trace(tracedir):
+        for i in range(warm, warm + n_ticks):
+            tick(i)
+        jax.block_until_ready(engine.arrays.yseq)
+
+    pbs = glob.glob(os.path.join(tracedir, "**", "*.xplane.pb"),
+                    recursive=True)
+    if not pbs:
+        print("no xplane.pb produced", file=sys.stderr)
+        sys.exit(1)
+    by_op, by_module, by_category, total_ps = aggregate(pbs[0])
+    ms = 1e-9  # ps -> ms
+    n = n_ticks
+    print(f"S={S}, {n} traced ticks; device busy "
+          f"{total_ps*ms:.1f} ms total = {total_ps*ms/n:.1f} ms/tick")
+    print("\nBy HLO module (program):")
+    for mod, ps in by_module.most_common(12):
+        print(f"  {ps*ms/n:8.2f} ms/tick  {mod or '?'}")
+    print("\nBy op category:")
+    for cat, ps in by_category.most_common(15):
+        print(f"  {ps*ms/n:8.2f} ms/tick  {cat or '?'}")
+    print("\nTop ops:")
+    for op, ps in by_op.most_common(30):
+        print(f"  {ps*ms/n:8.2f} ms/tick  {op[:100]}")
+
+
+if __name__ == "__main__":
+    main()
