@@ -62,6 +62,15 @@ TIMED_TICKS = 24
 # the best-so-far emission survived); the ladder now starts at the proven
 # rung and the budget is enforced before every rung, including the first.
 TIME_BUDGET_S = 1200.0
+# Per-rung subprocess cap. The tunneled chip occasionally stalls for
+# MINUTES (observed: jax.devices() blocking >20 min during a relay
+# outage); without a per-rung cap one stalled rung eats the whole
+# remaining budget and the ladder banks nothing. A warm-cache rung is
+# ~60 s of ticks + seconds of dispatch; a cold-cache first visit pays a
+# few minutes of XLA compiles — 480 s covers both with margin, and a
+# relay-stalled rung dies in time for a later rung (or retry) to run
+# after the relay recovers.
+RUNG_TIMEOUT_S = 480.0
 
 
 def synth_audio(n_ticks: int, seed: int) -> np.ndarray:
@@ -349,7 +358,11 @@ def main():
         # lasts. Only if the anchor rung fails do the descending fallbacks
         # run.
         climb = [256, 288, 320]
-        fallback = [208, 176]
+        # Fallback re-tries the anchor first: a transient relay stall can
+        # kill the anchor rung's subprocess (RUNG_TIMEOUT_S) even though
+        # the rung itself is known-good — give it a second chance on a
+        # recovered relay before descending.
+        fallback = [256, 208, 176]
         churn_period = CHURN_PERIOD
 
     model = _build_model(on_accelerator)
@@ -357,11 +370,20 @@ def main():
 
     start = time.time()
     # Second BASELINE target: single-stream p50 chunk latency (< 100 ms).
-    try:
-        _, single_p50, _, _, _ = measure(model, 1, beam, churn_period=0)
+    # Runs in a BOUNDED subprocess like every rung: when the relay is
+    # stalled, an in-parent device call blocks forever and the whole
+    # bench dies with rc=124 and zero output (observed in round 3).
+    got1 = _rung_subprocess(1, 0, timeout_s=min(RUNG_TIMEOUT_S, 360.0)) \
+        if on_accelerator else None
+    if got1 is None and not on_accelerator:
+        try:
+            _, med1, _, _, _ = measure(model, 1, beam, churn_period=0)
+            got1 = {"median": med1}
+        except Exception:
+            got1 = None
+    single_p50 = got1.get("median") if got1 else None
+    if single_p50 is not None:
         print(f"# S=1: p50 tick {single_p50*1000:.1f} ms", file=sys.stderr)
-    except Exception:
-        single_p50 = None
     flops_tick_stream = analytic_flops_per_tick_per_stream(model, beam)
     best_s = 0
     best_p50 = None
@@ -379,7 +401,8 @@ def main():
         remaining = TIME_BUDGET_S - (time.time() - start)
         if remaining < 120:
             return None
-        got = _rung_subprocess(s, churn_period, timeout_s=remaining)
+        got = _rung_subprocess(s, churn_period,
+                               timeout_s=min(remaining, RUNG_TIMEOUT_S))
         if got is None:
             return None
         if CHUNK_SEC <= got["mean"] < 1.3 * CHUNK_SEC and (
@@ -387,8 +410,9 @@ def main():
         ):
             # Near miss: first-visit compiles + ±20% chip variance; the
             # retry runs with a warm cache and keeps the better run.
-            again = _rung_subprocess(s, churn_period, timeout_s=max(
-                TIME_BUDGET_S - (time.time() - start), 120))
+            again = _rung_subprocess(s, churn_period, timeout_s=min(max(
+                TIME_BUDGET_S - (time.time() - start), 120),
+                RUNG_TIMEOUT_S))
             if again is not None and again["mean"] < got["mean"]:
                 got = again
         p50, p95 = got["mean"], got["p95"]
