@@ -1105,18 +1105,28 @@ class StreamingEngine:
         for s in slots:
             self.c.reset_slot(s)
             mask[s] = True
-        # The cross-KV cache and the enc_out ring stay out of the program:
-        # both are append-overwritten and read under enc_len/buf_len masks
-        # (see _reset_program/_select_buffers docs), and routing them
-        # through as pass-through outputs would cost full-ring copies.
+        # The cross-KV cache, the enc_out ring, AND the CTC log-prob ring
+        # stay out of the program: all three are append-overwritten and
+        # read under enc_len/buf_len masks (see _reset_program/
+        # _select_buffers docs), and routing any of them through as a
+        # pass-through output costs a full-ring copy (the CTC ring alone
+        # is (S, V, Tcap) bf16 ≈ 450 MB at S=288 — a measured 27.7 ms
+        # copy per reset in the xplane profile).
         enc_keep = self.buffers.enc_out
         small = self.buffers._replace(enc_out=enc_keep[:, :0])
-        (self.arrays, self.prev_arrays, buf_small,
+        ring_keep = self.arrays.ctc.logp
+        arr_small = self.arrays._replace(
+            ctc=self.arrays.ctc._replace(logp=ring_keep[:, :0, :0])
+        )
+        (arr_small, self.prev_arrays, buf_small,
          self.prev_valid_dev, self.process_idx_dev,
          self.output_index_dev) = _reset_program(
-            jnp.asarray(mask), self.arrays, self.prev_arrays,
+            jnp.asarray(mask), arr_small, self.prev_arrays,
             small, self.prev_valid_dev, self.process_idx_dev,
             self.output_index_dev, self.cfg, self.beam,
+        )
+        self.arrays = arr_small._replace(
+            ctc=arr_small.ctc._replace(logp=ring_keep)
         )
         self.buffers = buf_small._replace(enc_out=enc_keep)
         self._slot_clean[slots] = True
