@@ -1176,18 +1176,33 @@ class StreamingEngine:
         if not do.any():
             return {s: self.partial_tokens(s) for s in slots}
 
+        # Start this tick's audio H2D FIRST: device_put is async, so the
+        # chunk batch (the tick's largest relay transfer, ~4.7 MB at
+        # S=288 int16) rides the link while the host still waits on the
+        # previous tick's readback / the device drains its queue. Ordering
+        # it after the blocking readback serialized transfer behind
+        # compute on the relay.
+        audio_dev = jax.device_put(audio_batch)
+
         # Materialize the PREVIOUS tick's packed [ylen | best yseq] readback
-        # first: it has finished computing by now, so this host copy is
-        # cheap, and this tick's device work overlaps the next tick's host
-        # prep. Partial outputs therefore lag one tick (~one chunk), which
-        # is immaterial for display/endpointing; finals read synchronously.
+        # next: its D2H copy was started asynchronously at the end of that
+        # tick, so this host copy is cheap, and this tick's device work
+        # overlaps the next tick's host prep. Partial outputs therefore lag
+        # one tick (~one chunk), which is immaterial for display/
+        # endpointing; finals read synchronously.
         if self._pending_packed is not None:
             self._last_packed = np.array(self._pending_packed)
             self._pending_packed = None
 
-        self._tick_encode(audio_batch, do)
+        self._tick_encode(audio_dev, do)
         packed_dev = self._run_rounds(do)
         if packed_dev is not None:
+            # Kick off the D2H copy now; it overlaps the next tick's host
+            # prep + H2D instead of blocking inside next tick's np.array.
+            try:
+                packed_dev.copy_to_host_async()
+            except AttributeError:  # older jax Array without the method
+                pass
             self._pending_packed = packed_dev
 
         out: Dict[int, List[int]] = {}
