@@ -279,16 +279,27 @@ def ctc_advance_state(
     s_dim, beam, _, t_cap = state.r.shape
 
     take = lambda a, i: jnp.take_along_axis(a, i, axis=1)
-    r_src = take(
-        state.r, src_idx[:, :, None, None].repeat(2, 2).repeat(t_cap, 3)
+    # Beam-lineage selections via one-hot MXU contractions: the
+    # index-repeat take_along_axis formulations lower to serialized
+    # element gathers (~10 ns/element on TPU — the (S,B,V) psi gather
+    # profiled at 14.5 ms and the (S,B,2,T) r gather at 5-9 ms PER BEAM
+    # STEP at S=288). onehot_contract's bf16-limb passes are exact for
+    # f32 values (3 limbs = 24 mantissa bits) and run at MXU speed.
+    oh_src = jax.nn.one_hot(src_idx, beam, dtype=jnp.float32)    # (S,B,C)
+    r_src = onehot_contract(
+        "scxt,sbc->sbxt", state.r.astype(jnp.float32), oh_src
     )                                                            # (S,B,2,T)
     last_src = take(last_ids, src_idx)                           # (S, B)
-    cand_src = take(cand_ids, src_idx[:, :, None].repeat(
-        cand_ids.shape[-1], 2))                                  # (S, B, K)
+    cand_src = onehot_contract(
+        "sck,sbc->sbk", cand_ids.astype(jnp.float32), oh_src, limbs=2
+    ).astype(jnp.int32)                                          # (S, B, K)
 
     # s_new = log_psi[src, chosen] (select_state :415).
-    psi_src = take(log_psi, src_idx[:, :, None].repeat(log_psi.shape[-1], 2))
-    s_new = jnp.take_along_axis(psi_src, chosen[:, :, None], axis=2)[:, :, 0]
+    oh_chosen = jax.nn.one_hot(
+        chosen, log_psi.shape[-1], dtype=jnp.float32
+    )                                                            # (S,B,V)
+    psi_src = onehot_contract("scv,sbc->sbv", log_psi, oh_src)
+    s_new = onehot_contract("sbv,sbv->sb", psi_src, oh_chosen)
 
     # Token whose forward vars we compute: chosen if it was a candidate,
     # else candidate slot 0 (reference :399-406).
