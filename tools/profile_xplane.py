@@ -32,9 +32,16 @@ from speechcatcher_tpu.serve.engine import StreamingEngine  # noqa: E402
 
 
 def aggregate(xspace_path):
-    """Sum per-op device durations from one xplane.pb, keyed by
-    (hlo_module, op_category). Line events on TPU device planes carry
-    their duration_ps; metadata stats hold the HLO category."""
+    """Sum per-op device durations from one xplane.pb.
+
+    Module attribution uses TIME CONTAINMENT against the "XLA Modules"
+    line (one event per program execution) — op events carry no usable
+    module stat on this TPU runtime. NB: while/scan op durations INCLUDE
+    their body ops, which are also reported individually — per-module op
+    sums therefore double-count loop bodies; the module wall times
+    (by_module) are authoritative."""
+    import bisect
+
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     xs = xplane_pb2.XSpace()
@@ -49,28 +56,41 @@ def aggregate(xspace_path):
         if "TPU" not in plane.name and "/device:" not in plane.name:
             continue
         stat_names = {k: v.name for k, v in plane.stat_metadata.items()}
+        mods = []
+        op_line = None
         for line in plane.lines:
-            # XLA Ops line: one event per HLO op execution.
-            if line.name != "XLA Ops":
-                continue
-            for ev in line.events:
-                md = plane.event_metadata[ev.metadata_id]
-                dur = ev.duration_ps
-                total_ps += dur
-                cat = ""
-                mod = ""
-                for st in list(ev.stats) + list(md.stats):
-                    nm = stat_names.get(st.metadata_id, "")
-                    if nm == "hlo_category":
-                        cat = st.str_value or st.ref_value and "" or cat
-                        if st.str_value:
-                            cat = st.str_value
-                    elif nm in ("hlo_module", "program_id"):
-                        if st.str_value:
-                            mod = st.str_value
-                by_op[md.name] += dur
-                by_module[mod] += dur
-                by_category[cat] += dur
+            if line.name == "XLA Modules":
+                for ev in line.events:
+                    md = plane.event_metadata[ev.metadata_id]
+                    mods.append(
+                        (ev.offset_ps, ev.offset_ps + ev.duration_ps,
+                         md.name)
+                    )
+            elif line.name == "XLA Ops":
+                op_line = line
+        mods.sort()
+        starts = [m[0] for m in mods]
+        for st0, en0, nm in mods:
+            by_module[nm] += en0 - st0
+        if op_line is None:
+            continue
+        for ev in op_line.events:
+            md = plane.event_metadata[ev.metadata_id]
+            dur = ev.duration_ps
+            total_ps += dur
+            cat = ""
+            for st in list(ev.stats) + list(md.stats):
+                nm = stat_names.get(st.metadata_id, "")
+                if nm == "hlo_category" and st.str_value:
+                    cat = st.str_value
+            i = bisect.bisect_right(starts, ev.offset_ps) - 1
+            owner = (
+                mods[i][2]
+                if 0 <= i < len(mods) and ev.offset_ps < mods[i][1]
+                else "?"
+            )
+            by_op[(owner, md.name)] += dur
+            by_category[cat] += dur
     return by_op, by_module, by_category, total_ps
 
 
@@ -103,10 +123,13 @@ def main():
             audio[s] = waves[k][age * A:(age + 1) * A]
             ages[k] += 1
         if finals and i % bench.FINAL_FLUSH == 0:
-            engine.finalize_batch({s: None for s in finals})
-            for s in finals:
-                engine.release_slot(s)
-            # rejoin immediately (slots are clean after release)
+            # Mirror bench.measure: finalize with the utterance's last
+            # chunk, no release_slot (finalize_batch frees the slots and
+            # leaves them clean — release_slot would run an extra reset
+            # program per slot and skew the trace).
+            engine.finalize_batch(
+                {s: waves[0][:bench.CHUNK] for s in finals}
+            )
             for s in finals:
                 engine.acquire_slot()
         engine.tick(audio)
@@ -138,9 +161,10 @@ def main():
     print("\nBy op category:")
     for cat, ps in by_category.most_common(15):
         print(f"  {ps*ms/n:8.2f} ms/tick  {cat or '?'}")
-    print("\nTop ops:")
-    for op, ps in by_op.most_common(30):
-        print(f"  {ps*ms/n:8.2f} ms/tick  {op[:100]}")
+    print("\nTop ops (while/scan durations include their bodies):")
+    for (mod, op), ps in by_op.most_common(30):
+        print(f"  {ps*ms/n:8.2f} ms/tick  [{mod.split('(')[0][:24]}] "
+              f"{op[:80]}")
 
 
 if __name__ == "__main__":
