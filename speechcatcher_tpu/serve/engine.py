@@ -619,16 +619,16 @@ def _fused_encode(
     pe: jnp.ndarray,
     buffers: EngineBuffers,
     audio: jnp.ndarray,   # (S, A)
-    ints: jnp.ndarray,    # (10, S) int32: wave_len, trim_start, keep_from,
+    ints: jnp.ndarray,    # (14, S) int32: wave_len, trim_start, keep_from,
                           # keep_len, raw_len, valid_feats, consumed,
-                          # post_len, n_sub_out, bn
-    flags: jnp.ndarray,   # (2, S) bool: has_prev, has_past
+                          # post_len, n_sub_out, bn, has_prev, has_past,
+                          # buf_len, npb — ONE packed array: every extra
+                          # host→device argument pays a relay round trip,
+                          # so all per-tick scalars ride one transfer
     window: jnp.ndarray,
     mel_fb: jnp.ndarray,
     mean: jnp.ndarray,
     inv_std: jnp.ndarray,
-    buf_len: jnp.ndarray,  # (S,)
-    npb: jnp.ndarray,      # (S,)
     cfg: ModelConfig,
     maxb: int,
     n_fft: int,
@@ -637,7 +637,8 @@ def _fused_encode(
 ) -> EngineBuffers:
     (wave_len, trim_start, keep_from, keep_len, raw_len, valid_feats,
      consumed, post_len, n_sub_out, bn) = [ints[i] for i in range(10)]
-    has_prev, has_past = flags[0], flags[1]
+    has_prev, has_past = ints[10].astype(bool), ints[11].astype(bool)
+    buf_len, npb = ints[12], ints[13]
 
     if audio.dtype == jnp.int16:
         # int16 PCM ingest: half the host→device bytes (the TPU-relay
@@ -684,9 +685,10 @@ def _fused_round(
     enc_out: jnp.ndarray,
     mem_cache: MemoryCache,
     state: BlockDecodeState,
-    vis_len: jnp.ndarray,   # (S,) BEFORE extension
-    n_ext: jnp.ndarray,     # (S,) new frames to make visible
-    block_final: jnp.ndarray,
+    ints3: jnp.ndarray,     # (3, S) int32: vis_len (BEFORE extension),
+                            # n_ext (new frames to make visible), stepping
+                            # — ONE packed transfer; every extra H2D arg
+                            # pays a relay round trip
     cfg: ModelConfig,
     beam: int,
     pre_beam: int,
@@ -702,6 +704,11 @@ def _fused_round(
 
     Returns (new state, new mem_cache, packed (S, 1+Lmax) readback of
     [ylen, best yseq])."""
+    vis_len, n_ext = ints3[0], ints3[1]
+    state = state._replace(stepping=ints3[2].astype(bool))
+    # The tick path never finalizes a block inside this program (the
+    # drain program owns final blocks) — a constant inside the jit.
+    block_final = jnp.zeros(ints3.shape[1], dtype=bool)
     new_frames = _gather_new_frames(enc_out, vis_len, cfg, extcap)
     new_logp = ctc_log_softmax(params["ctc"], new_frames)
     state = state._replace(
@@ -736,10 +743,11 @@ def _fused_drain(
     enc_out: jnp.ndarray,
     mem_cache: MemoryCache,
     state: BlockDecodeState,
-    vis0: jnp.ndarray,      # (S,) visible frames at entry
-    buf: jnp.ndarray,       # (S,) total emitted encoder frames (final)
-    pb0: jnp.ndarray,       # (S,) processed-block counters at entry
-    do: jnp.ndarray,        # (S,) bool — finalizing streams
+    ints4: jnp.ndarray,     # (4, F) int32: vis0 (visible frames at entry),
+                            # buf (total emitted encoder frames), pb0
+                            # (processed-block counters), do (finalizing
+                            # streams) — ONE packed transfer; every extra
+                            # H2D argument pays a relay round trip
     cfg: ModelConfig,
     beam: int,
     pre_beam: int,
@@ -760,6 +768,8 @@ def _fused_drain(
     round as soon as it has no full block pending, exactly the per-stream
     round sequence of the unfused loop."""
     bs, la, hop = cfg.block_size, cfg.look_ahead, cfg.hop_size
+    vis0, buf, pb0 = ints4[0], ints4[1], ints4[2]
+    do = ints4[3].astype(bool)
 
     def cond(c):
         _st, _mem, vis, pb, fdone = c
@@ -1041,6 +1051,10 @@ class StreamingEngine:
         # (diagnostics; -1 until a finalize_batch ran the compact path).
         self._last_drain_max_start = -1
         self._pending_packed = None  # device array awaiting host copy
+        # Cached device constant: structural placeholder for per-call bool
+        # masks whose real values ride a packed int32 transfer (a fresh
+        # jnp.asarray per call would cost one relay round trip each).
+        self._false_dev = jnp.zeros(self.S, dtype=bool)
 
         # Single-stream finalizer (shares weights; used per final chunk).
         self._finalizer = BlockwiseSynchronousBeamSearch(
@@ -1270,11 +1284,14 @@ class StreamingEngine:
         bn = np.minimum(bn, self.MAXB)
         maxb_tick = int(bn.max())
 
+        # ONE packed int32 transfer for every per-tick scalar array: each
+        # separate jnp.asarray was a distinct H2D over the relay (a round
+        # trip each, ~5-30 ms on the tunnel).
         ints = np.stack(
             [c.wave_len, trim_start, keep_from, keep_len, c.raw_len,
-             valid_feats, consumed, c.post_len, n_sub_out, bn]
+             valid_feats, consumed, c.post_len, n_sub_out, bn,
+             c.has_prev, c.has_past, c.buf_len, c.npb]
         ).astype(np.int32)
-        flags = np.stack([c.has_prev, c.has_past])
 
         self.buffers = _fused_encode(
             self.model.params,
@@ -1282,13 +1299,10 @@ class StreamingEngine:
             self.buffers,
             jnp.asarray(audio_batch),
             jnp.asarray(ints),
-            jnp.asarray(flags),
             self.model.frontend.window,
             self.model.frontend.mel_fb,
             self.model.frontend.mean,
             self.model.frontend.inv_std,
-            jnp.asarray(c.buf_len.astype(np.int32)),
-            jnp.asarray(c.npb.astype(np.int32)),
             cfg,
             maxb_tick,
             cfg.n_fft,
@@ -1350,7 +1364,10 @@ class StreamingEngine:
                 prev_valid=self.prev_valid_dev,
                 process_idx=self.process_idx_dev,
                 output_index=self.output_index_dev,
-                stepping=jnp.asarray(ready),
+                # Placeholder (cached device constant, no transfer): the
+                # real stepping mask rides the packed ints3 row and is
+                # installed inside _fused_round.
+                stepping=self._false_dev,
             )
             out, self.mem_cache, packed = _fused_round(
                 self.model.params,
@@ -1358,9 +1375,9 @@ class StreamingEngine:
                 self.buffers.enc_out,
                 self.mem_cache,
                 dev_state,
-                jnp.asarray(c.vis_len.astype(np.int32)),
-                jnp.asarray(n_ext.astype(np.int32)),
-                jnp.zeros(self.S, dtype=bool),
+                jnp.asarray(np.stack(
+                    [c.vis_len, n_ext, ready]
+                ).astype(np.int32)),
                 cfg,
                 self.beam,
                 self.pre_beam,
@@ -1726,15 +1743,17 @@ class StreamingEngine:
         dev_state = BlockDecodeState(
             arrays=carr, prev_arrays=cprev, dec_cache=ccache,
             prev_valid=cpv, process_idx=cpi, output_index=coi,
-            stepping=jnp.asarray(do_f),
+            # Placeholder only — _fused_drain installs the real stepping
+            # mask per round from the packed ints4.
+            stepping=jnp.zeros(f_pad, dtype=bool),
         )
         res, cmem = _fused_drain(
             self.model.params, self.model.dec_pe, cb.enc_out, cmem,
             dev_state,
-            jnp.asarray(vis_f.astype(np.int32)),
-            jnp.asarray(buf_f.astype(np.int32)),
-            jnp.asarray(pb_f.astype(np.int32)),
-            jnp.asarray(do_f), cfg, self.beam, self.pre_beam,
+            jnp.asarray(np.stack(
+                [vis_f, buf_f, pb_f, do_f]
+            ).astype(np.int32)),
+            cfg, self.beam, self.pre_beam,
             self.ctc_weight, self.use_bbd, self.max_length,
             l_bound, t_bound, self.EXTCAP, self.penalty,
         )
