@@ -528,15 +528,15 @@ def _fused_final_encode(
     pe: jnp.ndarray,
     buffers: EngineBuffers,
     audio: jnp.ndarray,   # (S, A) zero-padded final chunks
-    ints: jnp.ndarray,    # (11, S) int32: wave_len, total_p, trim_start,
+    ints: jnp.ndarray,    # (15, S) int32: wave_len, total_p, trim_start,
                           # raw_len, valid_feats, post_len, n_sub_out, bn,
-                          # npb, post_total, y_emit
-    flags: jnp.ndarray,   # (3, S) bool: has_prev, has_past, first
+                          # npb, post_total, y_emit, has_prev, has_past,
+                          # first, buf_len — ONE packed transfer (each
+                          # extra H2D argument pays a relay round trip)
     window: jnp.ndarray,
     mel_fb: jnp.ndarray,
     mean: jnp.ndarray,
     inv_std: jnp.ndarray,
-    buf_len: jnp.ndarray,  # (S,)
     cfg: ModelConfig,
     maxb: int,
     n_fft: int,
@@ -551,7 +551,10 @@ def _fused_final_encode(
     the slots reset right after, so carries are dead."""
     (wave_len, total_p, trim_start, raw_len, valid_feats, post_len,
      n_sub_out, bn, npb, post_total, y_emit) = [ints[i] for i in range(11)]
-    has_prev, has_past, first = flags[0], flags[1], flags[2]
+    has_prev, has_past, first = (
+        ints[11].astype(bool), ints[12].astype(bool), ints[13].astype(bool)
+    )
+    buf_len = ints[14]
 
     feats = _final_frontend(
         buffers.wave, audio, wave_len, total_p, trim_start, window, mel_fb,
@@ -848,12 +851,24 @@ def _reset_program(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("lmax",))
-def _gather_final_rows(arrays: BeamArrays, rows: jnp.ndarray, lmax: int):
-    """Best-hypothesis readback for the finalizing rows only — keeps the
-    device→host copy tiny (axon downloads are bandwidth-bound)."""
-    return (arrays.yseq[rows, 0, :lmax], arrays.xpos[rows, 0, :lmax],
-            arrays.score[rows, 0])
+@jax.jit
+def _gather_final_rows(arrays: BeamArrays, rows: jnp.ndarray):
+    """Best-hypothesis readback for the finalizing rows, packed into ONE
+    f32 array [ylen | yseq | xpos | score] per row: a single D2H transfer
+    (each separate np.asarray paid a relay round trip, and the previous
+    ylen pre-read added a second sync just to pick a width bucket — at
+    full token capacity the whole readback is ~50 KB, cheaper than the
+    round trip it saves). Token ids and frame positions are < 2^24, so
+    the f32 packing is exact."""
+    return jnp.concatenate(
+        [
+            arrays.ylen[rows, None].astype(jnp.float32),
+            arrays.yseq[rows, 0].astype(jnp.float32),
+            arrays.xpos[rows, 0].astype(jnp.float32),
+            arrays.score[rows, 0][:, None],
+        ],
+        axis=1,
+    )
 
 
 def _rows_arrays(a: BeamArrays, rows: jnp.ndarray) -> BeamArrays:
@@ -1685,22 +1700,22 @@ class StreamingEngine:
         maxb = max(meta[s][5] for s in batch)
         if maxb > 0:
             audio = np.zeros((f_pad, self.A), np.float32)
-            ints = np.zeros((11, f_pad), np.int32)
-            flags = np.zeros((3, f_pad), bool)
+            ints = np.zeros((15, f_pad), np.int32)
             for i, s in enumerate(batch):
                 (total_p, trim_start, valid_feats, n_sub, post_total,
                  bn, y_emit) = meta[s]
                 audio[i, : len(items[s])] = items[s]
                 ints[:, i] = (c.wave_len[s], total_p, trim_start,
                               c.raw_len[s], valid_feats, c.post_len[s],
-                              n_sub, bn, c.npb[s], post_total, y_emit)
-                flags[:, i] = (c.has_prev[s], c.has_past[s], c.npb[s] == 0)
+                              n_sub, bn, c.npb[s], post_total, y_emit,
+                              c.has_prev[s], c.has_past[s], c.npb[s] == 0,
+                              buf_f[i])
             new_enc = _fused_final_encode(
                 self.model.params, self.model.enc_pe, cb,
-                jnp.asarray(audio), jnp.asarray(ints), jnp.asarray(flags),
+                jnp.asarray(audio), jnp.asarray(ints),
                 self.model.frontend.window, self.model.frontend.mel_fb,
                 self.model.frontend.mean, self.model.frontend.inv_std,
-                jnp.asarray(buf_f.astype(np.int32)), cfg, maxb,
+                cfg, maxb,
                 cfg.n_fft, cfg.hop_length, self.FCAP, self.SUBCAP,
             )
             cb = cb._replace(enc_out=new_enc)
@@ -1759,22 +1774,19 @@ class StreamingEngine:
         )
         carr = res.arrays
 
-        # Readback: tiny compact reads. Rows padded to the F bucket so the
-        # gather program has ONE shape per (f_pad, lmax) — the exact
-        # f_real varies flush to flush and would compile a variant each.
-        ylen_h = np.asarray(carr.ylen)
-        lmax = self._bucket(max(int(ylen_h[:f_real].max()), 1),
-                            cfg.max_tokens)
-        yseq_d, xpos_d, score_d = _gather_final_rows(
-            carr, jnp.arange(f_pad, dtype=jnp.int32), lmax
-        )
-        yseq_h = np.asarray(yseq_d)
-        xpos_h = np.asarray(xpos_d)
-        score_h = np.asarray(score_d)
+        # Readback: one packed [ylen | yseq | xpos | score] D2H (one relay
+        # round trip; rows padded to the F bucket so the gather program
+        # has ONE shape per f_pad).
+        packed_h = np.asarray(_gather_final_rows(
+            carr, jnp.arange(f_pad, dtype=jnp.int32)
+        ))
+        lcap = carr.yseq.shape[2]
         out = {}
         for i, s in enumerate(batch):
-            n = int(ylen_h[i])
-            out[s] = (yseq_h[i, :n], xpos_h[i, :n], float(score_h[i]))
+            n = int(packed_h[i, 0])
+            yseq_h = packed_h[i, 1 : 1 + n].astype(np.int64)
+            xpos_h = packed_h[i, 1 + lcap : 1 + lcap + n].astype(np.int64)
+            out[s] = (yseq_h, xpos_h, float(packed_h[i, -1]))
         self._reset_slots(batch)
         for s in batch:
             c.active[s] = False
