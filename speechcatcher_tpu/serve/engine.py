@@ -32,6 +32,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
+import os
 from typing import Dict, List, NamedTuple, Optional, Tuple
 
 import jax
@@ -1369,7 +1370,18 @@ class StreamingEngine:
             n_ext = np.where(ready, new_vis - c.vis_len, 0)
             assert (n_ext <= self.EXTCAP).all(), (n_ext, self.EXTCAP)
 
-            l_bound = self._bucket(self.ylen_upper + 64, cfg.max_tokens)
+            # A/B (chip-measured): the l_bound bucket slices the decoder
+            # KV cache to the live-prefix width before the loop and writes
+            # it back after — ~20 ms/tick of slice+writeback+carry copies
+            # at S=288 in the xplane profile — to save ~34% of the
+            # per-step attention reads. Tick blocks run only ~2 beam
+            # steps, so full capacity (no slice; the donated carry can
+            # alias in place) is expected to win; SC_TPU_LBOUND_BUCKET=1
+            # restores the bucketed behavior.
+            if os.environ.get("SC_TPU_LBOUND_BUCKET"):
+                l_bound = self._bucket(self.ylen_upper + 64, cfg.max_tokens)
+            else:
+                l_bound = cfg.max_tokens
             t_bound = self._bucket(int(new_vis.max()) + 1, self.ECAP,
                                    floor=128)
             dev_state = BlockDecodeState(
