@@ -96,19 +96,22 @@ def ctc_extend(
     # _fill_blank's full-axis cumulative sums), so a NaN stream must not
     # deposit non-finite log-probs.
     new_logp = jnp.where(jnp.isfinite(new_logp), new_logp, LOGZERO)
-    if _use_pallas_recursion() and t_cap % 128 == 0:
+    from speechcatcher_tpu.ops.pallas.ring_append import (
+        ring_append_cols,
+        ring_append_enabled,
+        ring_append_interpret,
+    )
+
+    if ring_append_enabled() and t_cap % 128 == 0:
         # In-place windowed append on the time-minor ring (the beam-state
         # pytree is donated by the fused engine programs): only the
         # touched 128-lane windows move instead of the full (S, V, Tcap)
         # ring — see ops/pallas/ring_append.py.
-        from speechcatcher_tpu.ops.pallas.ring_append import (
-            ring_append_cols,
-        )
-
         logp = ring_append_cols(
             state.logp,
             jnp.swapaxes(new_logp, 1, 2).astype(ring_dtype),
             old_len, n_new,
+            interpret=ring_append_interpret(),
         )
     else:
         pos = old_len[:, None] + jnp.arange(t_new)[None, :]    # (S, Tnew)

@@ -188,20 +188,23 @@ def extend_memory_cache(
     tmax = mem_cache.k.shape[2]
     if n_new is None:
         n_new = jnp.full(enc_len.shape, t_new, jnp.int32)
-    from speechcatcher_tpu.ops.pallas.block_attention import use_pallas
+    from speechcatcher_tpu.ops.pallas.ring_append import (
+        ring_append_enabled,
+        ring_append_interpret,
+        ring_append_rows,
+    )
 
-    if use_pallas() and tmax % 64 == 0:
+    if ring_append_enabled() and tmax % 64 == 0:
         # In-place windowed append (ops/pallas/ring_append.py): callers
         # donate the cache, so only the written 64-row windows move —
         # 0.96 ms vs 16.1 ms for the one-hot rewrite at the flagship
         # serving shape (6,288,768,512) bf16 on v5e.
-        from speechcatcher_tpu.ops.pallas.ring_append import (
-            ring_append_rows,
-        )
-
+        interp = ring_append_interpret()
         return MemoryCache(
-            k=ring_append_rows(mem_cache.k, ks, enc_len, n_new),
-            v=ring_append_rows(mem_cache.v, vs, enc_len, n_new),
+            k=ring_append_rows(mem_cache.k, ks, enc_len, n_new,
+                               interpret=interp),
+            v=ring_append_rows(mem_cache.v, vs, enc_len, n_new,
+                               interpret=interp),
         )
     # XLA fallback: one-hot contraction — exact without Precision.HIGHEST
     # (pathologically slow for outer-product-shaped scatters on TPU — see

@@ -29,10 +29,29 @@ replacement for that growth.
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+
+
+def ring_append_enabled() -> bool:
+    """Kernel eligibility gate for the engine call sites: real TPUs, or
+    any backend with SC_RING_APPEND_INTERPRET=1 — the interpret-mode
+    escape hatch lets CPU tests drive the REAL call-site wiring (offset
+    arithmetic, axis swaps, dtype casts, capacity rounding) through the
+    kernel instead of only unit-testing it in isolation."""
+    if os.environ.get("SC_RING_APPEND_INTERPRET"):
+        return True
+    from speechcatcher_tpu.ops.pallas.block_attention import use_pallas
+
+    return use_pallas()
+
+
+def ring_append_interpret() -> bool:
+    """True when call sites should pass interpret=True (CPU test mode)."""
+    return bool(os.environ.get("SC_RING_APPEND_INTERPRET"))
 
 
 def _append_rows_kernel(T, BT, TN, start_ref, n_ref, new_ref, cache_ref,

@@ -103,22 +103,23 @@ def _scatter_append(
     """Append new[:, :n_valid] at per-stream offsets (masked one-hot scatter)."""
     cap = buf.shape[1]
     n = new.shape[1]
-    from speechcatcher_tpu.ops.pallas.block_attention import use_pallas
+    from speechcatcher_tpu.ops.pallas.ring_append import (
+        ring_append_enabled,
+        ring_append_interpret,
+        ring_append_rows,
+    )
 
-    if use_pallas() and cap % 64 == 0:
+    if ring_append_enabled() and cap % 64 == 0:
         # In-place windowed append: only the touched 64-row windows move
         # instead of the full ring (see ops/pallas/ring_append.py). The
         # big ring this hits is enc_out (S, ECAP_PAD, d) — ECAP_PAD is
         # rounded to a 64 multiple at allocation; the small frontend
         # carries keep the one-hot path (their capacities are odd and
         # their cost is noise).
-        from speechcatcher_tpu.ops.pallas.ring_append import (
-            ring_append_rows,
-        )
-
         return ring_append_rows(
             buf[None], new[None].astype(buf.dtype),
             offset.astype(jnp.int32), n_valid.astype(jnp.int32),
+            interpret=ring_append_interpret(),
         )[0]
     pos = offset[:, None] + jnp.arange(n)[None, :]
     pos = jnp.clip(pos, 0, cap - 1)

@@ -202,3 +202,75 @@ def test_ring_append_cols_matches_numpy():
         jnp.array(ring), jnp.array(new), jnp.array(start),
         jnp.array(n_new), interpret=True))
     np.testing.assert_array_equal(out, ref)
+
+
+def test_ring_append_call_site_wiring_matches_xla(monkeypatch):
+    """Drive the REAL engine call sites (ctc_extend, extend_memory_cache,
+    _scatter_append) through the interpret-mode kernel and compare against
+    the XLA one-hot fallback — covers the offset arithmetic, axis swaps,
+    dtype casts, and eligibility gating that kernel-only unit tests miss."""
+    import jax
+    from speechcatcher_tpu.decode.ctc_prefix import (
+        CTCScorerState, ctc_extend, init_ctc_state,
+    )
+    from speechcatcher_tpu.models.decoder import MemoryCache, extend_memory_cache
+    from speechcatcher_tpu.serve.engine import _scatter_append
+
+    S, V, TCAP, B = 3, 8, 256, 2       # TCAP % 128 == 0 -> cols kernel
+    TMAX, D, TNEW, L = 128, 16, 6, 2   # TMAX % 64 == 0 -> rows kernel
+
+    def run_all():
+        rng = np.random.default_rng(7)  # identical inputs for both runs
+        # ctc_extend: ring append of new frame log-probs.
+        st = init_ctc_state(S, B, TCAP, V)
+        st = st._replace(
+            logp=jnp.array(rng.standard_normal((S, V, TCAP)), jnp.float32),
+            enc_len=jnp.array([5, 250, 0], jnp.int32),
+        )
+        new_logp = jnp.array(rng.standard_normal((S, TNEW, V)), jnp.float32)
+        st2 = ctc_extend(st, new_logp, jnp.array([4, 6, 0], jnp.int32))
+
+        # extend_memory_cache: K/V projection rows appended at enc_len.
+        params = {
+            "layers": {
+                "src_attn": {
+                    "linear_k": {
+                        "weight": jnp.array(
+                            rng.standard_normal((L, D, D)) * 0.1, jnp.float32),
+                        "bias": jnp.zeros((L, D), jnp.float32),
+                    },
+                    "linear_v": {
+                        "weight": jnp.array(
+                            rng.standard_normal((L, D, D)) * 0.1, jnp.float32),
+                        "bias": jnp.zeros((L, D), jnp.float32),
+                    },
+                }
+            }
+        }
+        mem = MemoryCache(
+            k=jnp.array(rng.standard_normal((L, S, TMAX, D)), jnp.float32),
+            v=jnp.array(rng.standard_normal((L, S, TMAX, D)), jnp.float32),
+        )
+        new_mem = jnp.array(rng.standard_normal((S, TNEW, D)), jnp.float32)
+        enc_len = jnp.array([0, 100, 126], jnp.int32)
+        mem2 = extend_memory_cache(
+            params, mem, new_mem, enc_len, None,
+            n_new=jnp.array([6, 6, 2], jnp.int32),
+        )
+
+        # _scatter_append: enc_out-style ring (cap % 64 == 0).
+        buf = jnp.array(rng.standard_normal((S, TMAX, D)), jnp.float32)
+        new = jnp.array(rng.standard_normal((S, TNEW, D)), jnp.float32)
+        out = _scatter_append(
+            buf, new, jnp.array([10, 122, 0], jnp.int32),
+            jnp.array([6, 6, 0], jnp.int32),
+        )
+        return st2.logp, st2.r, mem2.k, mem2.v, out
+
+    monkeypatch.delenv("SC_RING_APPEND_INTERPRET", raising=False)
+    ref = run_all()
+    monkeypatch.setenv("SC_RING_APPEND_INTERPRET", "1")
+    got = run_all()
+    for r, g, name in zip(ref, got, ["logp", "r", "k", "v", "scatter"]):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), rtol=0, atol=0, err_msg=name)
