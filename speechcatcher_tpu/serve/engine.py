@@ -1280,13 +1280,15 @@ class StreamingEngine:
         n_samples = raw_total // sub - 1
         can_sub = can & (n_samples >= 2)
         n_sub_in = np.where(can_sub, n_samples * sub, 0)  # frames consumed
-        n_sub_out = np.zeros(self.S, np.int64)
-        # conv output count for n_samples*sub input frames.
-        from speechcatcher_tpu.models.encoder import subsampled_len
+        # conv output count for n_samples*sub input frames — vectorized
+        # (a per-slot Python loop here ran every tick over all S slots).
+        from speechcatcher_tpu.models.encoder import _CONV_SPECS
 
-        for i in range(self.S):
-            if can_sub[i]:
-                n_sub_out[i] = subsampled_len(int(n_sub_in[i]), cfg.input_layer)
+        kernels, strides = _CONV_SPECS[cfg.input_layer]
+        outs = n_sub_in.astype(np.int64)
+        for k, st in zip(kernels, strides):
+            outs = (outs - k) // st + 1
+        n_sub_out = np.where(can_sub, outs, 0)
         n_res_raw = np.where(can_sub, raw_total % sub + sub * 2, raw_total)
         consumed = np.where(can_sub, raw_total - n_res_raw, 0)
 
