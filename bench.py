@@ -53,6 +53,14 @@ CHURN_PERIOD = 32
 # plateau-endpointing window) and is REPORTED, not hidden: the bench
 # measures per-final end-to-end flush latency and emits p50/p95.
 FINAL_FLUSH = int(os.environ.get("SC_TPU_FINAL_FLUSH", "4"))
+# Audio wire format (serve/wire.py). The per-tick chunk upload is the
+# tick's dominant wall-clock cost on a relay-attached TPU (xplane: device
+# busy ~139 ms vs ~385-490 ms wall at S=288), so the bench ships mu-law
+# uint8 by default — 1 byte/sample, the telephony companding format
+# (~38 dB SNR; the engine expands it on device, and uint8 wire is
+# token-identical to host-decoded float32 of the same bytes, see
+# tests/test_wire.py). SC_TPU_WIRE=int16|float32 restores linear PCM.
+WIRE = os.environ.get("SC_TPU_WIRE", "mulaw")
 # 24 ticks ≈ 12 s of audio: long enough that one multi-second relay stall
 # (the tunneled chip shows rare multi-second hiccups) doesn't dominate the
 # mean-based real-time gate.
@@ -140,6 +148,12 @@ def measure(model, n_streams: int, beam: int,
     n_ticks = warmup + TIMED_TICKS
     waves = [synth_audio((churn_period or 4) + 1, seed=k)
              for k in range(n_streams)]
+    if WIRE != "int16":
+        from speechcatcher_tpu.serve.wire import encode_chunk
+
+        # One-time host transcode (mu-law: a single table lookup per
+        # wave); every sliced chunk below then ships in wire format.
+        waves = [encode_chunk(w, WIRE) for w in waves]
 
     slots = [engine.acquire_slot() for _ in range(n_streams)]
     stream_of = {s: k for k, s in enumerate(slots)}
@@ -323,8 +337,13 @@ def _rung_subprocess(n_streams: int, churn_period: int, timeout_s: float):
             return d
         except (json.JSONDecodeError, KeyError, TypeError):
             continue
-    tail = (res.stderr or "").strip().splitlines()[-1:]
-    print(f"# S={n_streams} failed: {tail}", file=sys.stderr)
+    lines = (res.stderr or "").strip().splitlines()
+    # Surface the informative lines, not just the JAX traceback-filter
+    # notice: OOMs carry their byte counts a few lines up.
+    info = [l for l in lines if any(
+        k in l for k in ("RESOURCE_EXHAUSTED", "Out of memory", "OOM",
+                         "Error", "error", "Exception"))][-4:]
+    print(f"# S={n_streams} failed: {info or lines[-1:]}", file=sys.stderr)
     return None
 
 
@@ -449,6 +468,7 @@ def main():
             "finalize_churn": True,
             "churn_period_ticks": churn_period,
             "finals_flush_every_ticks": FINAL_FLUSH,
+            "wire": WIRE,
             "analytic_tflops": round(tflops, 3),
             "platform": platform,
             "ladder": [

@@ -41,11 +41,8 @@ from speechcatcher_tpu.models.asr_model import ASRModel
 from speechcatcher_tpu.models.ctc import ctc_log_softmax
 from speechcatcher_tpu.models.decoder import (
     DecoderCache,
-    MemoryCache,
     decoder_step,
-    extend_memory_cache,
     init_decoder_cache,
-    init_memory_cache,
 )
 from speechcatcher_tpu.models.encoder import EncoderState, StreamingEncoder
 
@@ -114,7 +111,7 @@ def init_beam_arrays(cfg: ModelConfig, n_streams: int, beam: int,
 def _beam_step_core(
     params,
     dec_pe: jnp.ndarray,
-    mem_cache: MemoryCache,
+    memory: jnp.ndarray,    # (S, T, d) raw encoder frames (padded ring)
     dec_cache: DecoderCache,
     arrays: BeamArrays,
     vis_len: jnp.ndarray,   # (S,) visible encoder frames
@@ -141,7 +138,7 @@ def _beam_step_core(
         params["decoder"],
         dec_pe,
         dec_cache,
-        mem_cache,
+        memory,
         last_tok.reshape(n),
         jnp.repeat(arrays.ylen - 1, beam),
         vis_len,
@@ -394,7 +391,7 @@ def _merge_arrays(full: BeamArrays, view: BeamArrays, l_bound: int,
 def decode_block_device(
     params,
     dec_pe: jnp.ndarray,
-    mem_cache: MemoryCache,
+    memory: jnp.ndarray,       # (S, Tcap, d) raw encoder frames (padded)
     state: BlockDecodeState,
     vis_len: jnp.ndarray,      # (S,)
     block_final: jnp.ndarray,  # (S,) bool
@@ -429,9 +426,7 @@ def decode_block_device(
     full_arrays = state.arrays
     full_prev = state.prev_arrays
     full_cache = state.dec_cache
-    mem_view = MemoryCache(
-        k=mem_cache.k[:, :, :t_bound], v=mem_cache.v[:, :, :t_bound]
-    )
+    mem_view = memory[:, :t_bound]
     state = state._replace(
         arrays=_slice_arrays(full_arrays, l_bound, t_bound),
         prev_arrays=_slice_arrays(full_prev, l_bound, t_bound),
@@ -537,7 +532,7 @@ class BSBSState:
     enc_buf: Optional[jnp.ndarray]       # (1, L, d) accumulated encoder out
     vis_len: int                         # frames made visible to scorers
     arrays: BeamArrays
-    mem_cache: MemoryCache
+    memory: jnp.ndarray                  # (1, Tcap, d) raw encoder ring
     dec_cache: DecoderCache              # lane-resident self-attn KV rows
     prev_arrays: Optional[BeamArrays]    # rewind snapshot (reference prev_hyps)
     process_idx: int
@@ -579,7 +574,9 @@ class BlockwiseSynchronousBeamSearch:
             enc_buf=None,
             vis_len=0,
             arrays=init_beam_arrays(self.cfg, 1, self.beam_size),
-            mem_cache=init_memory_cache(self.cfg, 1),
+            memory=jnp.zeros(
+                (1, self.cfg.max_enc_frames, self.cfg.encoder_dim)
+            ),
             dec_cache=init_decoder_cache(self.cfg, self.beam_size),
             prev_arrays=None,
             process_idx=0,
@@ -653,12 +650,13 @@ class BlockwiseSynchronousBeamSearch:
         st.arrays = arrays._replace(
             ctc=ctc_extend(arrays.ctc, new_logp, jnp.array([True]))
         )
-        st.mem_cache = extend_memory_cache(
-            self.model.params["decoder"],
-            st.mem_cache,
-            new_frames,
-            jnp.array([st.vis_len], jnp.int32),
-            self.cfg,
+        # Append the raw frames to the fixed-capacity memory ring (the
+        # decoder rematerializes cross K/V from it each beam step; no
+        # per-layer KV cache to extend).
+        st.memory = jax.lax.dynamic_update_slice(
+            st.memory,
+            new_frames.astype(st.memory.dtype),
+            (0, jnp.asarray(st.vis_len, jnp.int32), 0),
         )
         st.vis_len = cur_end
 
@@ -692,7 +690,7 @@ class BlockwiseSynchronousBeamSearch:
         out = decode_block_device(
             self.model.params,
             self.model.dec_pe,
-            st.mem_cache,
+            st.memory,
             dev_state,
             jnp.array([st.vis_len], jnp.int32),
             jnp.array([block_is_final]),

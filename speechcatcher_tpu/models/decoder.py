@@ -12,9 +12,9 @@ The cache is LAZILY REORDERED: beam pruning permutes a small per-position
 lane map instead of the buffers, so rows are append-only — no per-step cache
 gather, and rollback/rewind need no cache snapshot at all.
 
-Cross-attention K/V over the growing encoder buffer are likewise cached per
-*stream* (shared by all hypotheses of a stream) and extended only when new
-encoder frames arrive.
+Cross-attention K/V over the growing encoder buffer are NOT cached: each
+beam step rematerializes them from the raw encoder frames (shared by all
+hypotheses of a stream) — see the NOTE above decoder_step.
 """
 
 from __future__ import annotations
@@ -139,91 +139,22 @@ class DecoderCache(NamedTuple):
     v: jnp.ndarray  # (L, N, Lmax, d)
 
 
-class MemoryCache(NamedTuple):
-    """Per-stream cross-attention KV cache over the encoder buffer."""
-
-    k: jnp.ndarray  # (L, S, Tmax, d)
-    v: jnp.ndarray  # (L, S, Tmax, d)
-
-
 def init_decoder_cache(cfg: ModelConfig, n_hyps: int) -> DecoderCache:
     shape = (cfg.decoder_layers, n_hyps, cfg.max_tokens, cfg.decoder_dim)
     dt = cfg.cache_jnp_dtype
     return DecoderCache(k=jnp.zeros(shape, dt), v=jnp.zeros(shape, dt))
 
 
-def init_memory_cache(cfg: ModelConfig, n_streams: int) -> MemoryCache:
-    shape = (cfg.decoder_layers, n_streams, cfg.max_enc_frames, cfg.decoder_dim)
-    dt = cfg.cache_jnp_dtype
-    return MemoryCache(k=jnp.zeros(shape, dt), v=jnp.zeros(shape, dt))
-
-
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def extend_memory_cache(
-    params: Params,
-    mem_cache: MemoryCache,
-    new_memory: jnp.ndarray,  # (S, Tnew, d) new encoder frames (padded)
-    enc_len: jnp.ndarray,     # (S,) frames already cached
-    cfg: ModelConfig,
-    n_new: Optional[jnp.ndarray] = None,  # (S,) valid new frames (None=all)
-) -> MemoryCache:
-    """Project only the NEW encoder frames into the cross K/V ring."""
-
-    def body(carry, p_layer):
-        k = linear(p_layer["src_attn"]["linear_k"], new_memory)
-        v = linear(p_layer["src_attn"]["linear_v"], new_memory)
-        # Sanitize appended rows: the cache is never zeroed on slot reuse
-        # (serve/engine.py::_reset_program) — stale rows are unreachable
-        # through the enc_len mask ONLY if they are finite (0·NaN = NaN
-        # would leak through the masked value contraction), so a NaN
-        # stream must not deposit non-finite rows.
-        k = jnp.where(jnp.isfinite(k), k, 0.0)
-        v = jnp.where(jnp.isfinite(v), v, 0.0)
-        return carry, (k.astype(mem_cache.k.dtype),
-                       v.astype(mem_cache.v.dtype))
-
-    _, (ks, vs) = jax.lax.scan(body, None, params["layers"])
-    # ks: (L, S, Tnew, d). Write each stream's block at its enc_len offset.
-    t_new = new_memory.shape[1]
-    tmax = mem_cache.k.shape[2]
-    if n_new is None:
-        n_new = jnp.full(enc_len.shape, t_new, jnp.int32)
-    from speechcatcher_tpu.ops.pallas.ring_append import (
-        ring_append_enabled,
-        ring_append_interpret,
-        ring_append_rows,
-    )
-
-    if ring_append_enabled() and tmax % 64 == 0:
-        # In-place windowed append (ops/pallas/ring_append.py): callers
-        # donate the cache, so only the written 64-row windows move —
-        # 0.96 ms vs 16.1 ms for the one-hot rewrite at the flagship
-        # serving shape (6,288,768,512) bf16 on v5e.
-        interp = ring_append_interpret()
-        return MemoryCache(
-            k=ring_append_rows(mem_cache.k, ks, enc_len, n_new,
-                               interpret=interp),
-            v=ring_append_rows(mem_cache.v, vs, enc_len, n_new,
-                               interpret=interp),
-        )
-    # XLA fallback: one-hot contraction — exact without Precision.HIGHEST
-    # (pathologically slow for outer-product-shaped scatters on TPU — see
-    # ops/layers.py), but rewrites the whole ring per append.
-    pos = enc_len[:, None] + jnp.arange(t_new)[None, :]  # (S, Tnew)
-    pos = jnp.clip(pos, 0, tmax - 1)
-    onehot = jax.nn.one_hot(pos, tmax, dtype=mem_cache.k.dtype)  # (S,Tnew,Tmax)
-    onehot = onehot * (
-        jnp.arange(t_new)[None, :] < n_new[:, None]
-    )[..., None]
-    written = jnp.clip(jnp.sum(onehot, axis=1), 0.0, 1.0)  # (S, Tmax)
-    keep = (1.0 - written)[None, :, :, None]
-    new_k = mem_cache.k * keep + onehot_contract(
-        "lstd,stm->lsmd", ks, onehot
-    ).astype(mem_cache.k.dtype)
-    new_v = mem_cache.v * keep + onehot_contract(
-        "lstd,stm->lsmd", vs, onehot
-    ).astype(mem_cache.v.dtype)
-    return MemoryCache(k=new_k, v=new_v)
+# NOTE on cross-attention memory: there is deliberately NO cross-KV cache.
+# decoder_step REMATERIALIZES each layer's memory K/V from the raw encoder
+# frames on every beam step (see the docstring there). Caching them — the
+# reference's design (/root/reference/speechcatcher/model/decoder/
+# transformer_decoder.py forward_one_step precomputes memory projections) —
+# costs L×2 capacity-shaped (S, Tmax, d) buffers per stream (9.4 MB/stream
+# at the flagship serving shape, 38% of the per-stream HBM budget) AND
+# 6× the per-step HBM reads of the raw frames; on TPU the recompute is two
+# (S·T, d)×(d, d) MXU matmuls per layer that hide under the link-bound
+# serving tick.
 
 
 def _attend_cached_lane(
@@ -323,7 +254,7 @@ def decoder_step(
     params: Params,
     pe: jnp.ndarray,
     cache: DecoderCache,
-    mem_cache: MemoryCache,
+    memory: jnp.ndarray,       # (S, Tmax, d) raw encoder frames (padded)
     tokens: jnp.ndarray,       # (N,) last token; hyps laid out as (S, B)
     pos: jnp.ndarray,          # (N,) position index of that token (= len-1)
     enc_len: jnp.ndarray,      # (S,) valid encoder frames per stream
@@ -346,11 +277,22 @@ def decoder_step(
     a rolled-back step's rows are simply never referenced again). `write`
     masks the scatter for frozen streams, whose stale rows must survive
     (their cached layer inputs were computed under an older encoder
-    context, exactly like the reference's cached layer outputs)."""
+    context, exactly like the reference's cached layer outputs).
+
+    Cross-attention memory K/V are REMATERIALIZED per layer from `memory`
+    (the raw encoder-output ring the caller already keeps): two
+    (S·T, d)×(d, d) MXU matmuls per layer per step instead of storing
+    L×2 capacity-shaped bf16 buffers per stream AND re-reading them from
+    HBM each step. Values are identical to the cached design: the same
+    linear() on the same frames, cast to the same cache dtype (including
+    the finite-sanitization the cached append applied — stale/NaN rows
+    past enc_len must stay finite or 0·NaN would leak through the masked
+    value contraction)."""
     n = tokens.shape[0]
     d = cfg.decoder_dim
     lmax = cache.k.shape[2]   # capacity comes from the (possibly sliced) cache
-    tmax = mem_cache.k.shape[2]
+    tmax = memory.shape[1]
+    cache_dt = cache.k.dtype
 
     x = params["embed"]["weight"][tokens] * math.sqrt(d) + pe[pos]  # (N, d)
 
@@ -368,7 +310,13 @@ def decoder_step(
 
     def body(carry, layer_in):
         h = carry  # (N, d)
-        p_layer, k_l, v_l, mk_l, mv_l = layer_in
+        p_layer, k_l, v_l = layer_in
+        # Rematerialize this layer's memory K/V from the raw frames —
+        # identical math (and cast) to the retired cached-extend path.
+        mk_l = linear(p_layer["src_attn"]["linear_k"], memory)
+        mv_l = linear(p_layer["src_attn"]["linear_v"], memory)
+        mk_l = jnp.where(jnp.isfinite(mk_l), mk_l, 0.0).astype(cache_dt)
+        mv_l = jnp.where(jnp.isfinite(mv_l), mv_l, 0.0).astype(cache_dt)
         # Self-attention with lane-mapped KV cache.
         residual = h
         hn = layer_norm(p_layer["norm1"], h)
@@ -396,7 +344,7 @@ def decoder_step(
         return h, (k_l, v_l)
 
     (h, (new_k, new_v)) = jax.lax.scan(
-        body, x, (params["layers"], cache.k, cache.v, mem_cache.k, mem_cache.v)
+        body, x, (params["layers"], cache.k, cache.v)
     )
     if cfg.normalize_before:
         h = layer_norm(params["after_norm"], h)

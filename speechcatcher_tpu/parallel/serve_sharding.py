@@ -16,7 +16,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from speechcatcher_tpu.decode.beam_search import BeamArrays
 from speechcatcher_tpu.decode.ctc_prefix import CTCScorerState
-from speechcatcher_tpu.models.decoder import DecoderCache, MemoryCache
+from speechcatcher_tpu.models.decoder import DecoderCache
 from speechcatcher_tpu.serve.engine import EngineBuffers, StreamingEngine
 
 
@@ -86,10 +86,8 @@ def shard_engine(engine: StreamingEngine, mesh: Mesh) -> StreamingEngine:
         k=_put(engine.dec_cache.k, mesh, P(None, "dp")),
         v=_put(engine.dec_cache.v, mesh, P(None, "dp")),
     )
-    engine.mem_cache = MemoryCache(
-        k=_put(engine.mem_cache.k, mesh, P(None, "dp")),
-        v=_put(engine.mem_cache.v, mesh, P(None, "dp")),
-    )
+    # (cross-attention memory K/V: no stored state — rematerialized from
+    # the dp-sharded enc_out ring inside the decode programs)
     engine.prev_valid_dev = _put(engine.prev_valid_dev, mesh, P("dp"))
     engine.process_idx_dev = _put(engine.process_idx_dev, mesh, P("dp"))
     engine.output_index_dev = _put(engine.output_index_dev, mesh, P("dp"))

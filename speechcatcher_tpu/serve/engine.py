@@ -52,10 +52,7 @@ from speechcatcher_tpu.models.asr_model import ASRModel
 from speechcatcher_tpu.models.ctc import ctc_log_softmax
 from speechcatcher_tpu.models.decoder import (
     DecoderCache,
-    MemoryCache,
-    extend_memory_cache,
     init_decoder_cache,
-    init_memory_cache,
 )
 from speechcatcher_tpu.models.encoder import (
     EncoderState,
@@ -65,6 +62,12 @@ from speechcatcher_tpu.models.encoder import (
 )
 from speechcatcher_tpu.ops.layers import layer_norm, onehot_contract
 from speechcatcher_tpu.ops.frontend import frame_signal
+from speechcatcher_tpu.serve.wire import mulaw_decode as _mulaw_decode
+
+# uint8 wire expansion table: one row per mu-law code, computed by the
+# SAME host function tests/clients use, so device ingest == host decode
+# bit-for-bit (see _fused_encode).
+_MULAW_TABLE = _mulaw_decode(np.arange(256, dtype=np.uint8))
 
 
 class EngineBuffers(NamedTuple):
@@ -143,9 +146,10 @@ def _sel0(m: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
 def _select_buffers(mask: np.ndarray, a: EngineBuffers,
                     b: EngineBuffers) -> EngineBuffers:
     """Reset the small frontend carries; the (S, ECAP_PAD, d) enc_out ring
-    is excluded — its only readers (_gather_new_frames feeding ctc_extend /
-    extend_memory_cache, both bounded by n_ext, and the drain loop bounded
-    by buf_len) never reach rows a fresh session hasn't rewritten, and
+    is excluded — its only readers (_gather_new_frames feeding ctc_extend,
+    bounded by n_ext; the enc_len-masked cross-attention rematerialization;
+    and the drain loop bounded by buf_len) never reach rows a fresh
+    session hasn't rewritten, and
     buf_len is host state reset on acquire. The caller passes an empty
     enc_out placeholder so the untouched ring never crosses the program
     boundary (a pass-through output would cost a full-ring copy)."""
@@ -589,8 +593,8 @@ def _gather_new_frames(
     The enc_out ring is ALLOCATED with extcap rows of tail padding
     (StreamingEngine.__init__) so the slice start never clips: with a
     clipped start (vis > ECAP-extcap) the gathered rows no longer begin at
-    frame `vis`, and ctc_extend/extend_memory_cache — which scatter
-    new_frames[t] at position vis+t — would write the WRONG frames for the
+    frame `vis`, and ctc_extend — which scatters new_frames[t] at position
+    vis+t — would write the WRONG frames for the
     last ~extcap frames of a near-capacity ring (~29 s utterances at the
     flagship serving config). Padding at allocation instead of per call
     keeps a (S, ECAP, d) concat-copy out of the per-round hot path."""
@@ -650,6 +654,13 @@ def _fused_encode(
         # upload is the tick's dominant wall-clock cost); the exact
         # ÷32767 normalization happens on device.
         audio = audio.astype(jnp.float32) / 32767.0
+    elif audio.dtype == jnp.uint8:
+        # mu-law wire (serve/wire.py): QUARTER the float32 bytes. Expand
+        # through a 256-entry table computed by wire.mulaw_decode itself,
+        # so the uint8 wire is BIT-identical to host-decoded float input
+        # (the closed-form expm1 differs from numpy by 1 ulp on ~18% of
+        # codes — enough to flake token-parity contracts).
+        audio = jnp.asarray(_MULAW_TABLE)[audio.astype(jnp.int32)]
     feats, new_wave = _tick_frontend(
         buffers.wave, audio, wave_len, trim_start, keep_from, keep_len,
         window, mel_fb, mean, inv_std, n_fft, hop,
@@ -679,16 +690,15 @@ def _fused_encode(
     jax.jit,
     static_argnames=("cfg", "beam", "pre_beam", "ctc_weight", "use_bbd",
                      "max_length", "l_bound", "t_bound", "extcap", "penalty"),
-    # Donate the beam/scorer state and cross-KV cache: the caller replaces
-    # both references right after the call, and in-place updates halve the
-    # transient HBM peak of the per-block rebuild.
-    donate_argnames=("mem_cache", "state"),
+    # Donate the beam/scorer state: the caller replaces the reference
+    # right after the call, and in-place updates halve the transient HBM
+    # peak of the per-block rebuild.
+    donate_argnames=("state",),
 )
 def _fused_round(
     params,
     dec_pe: jnp.ndarray,
     enc_out: jnp.ndarray,
-    mem_cache: MemoryCache,
     state: BlockDecodeState,
     ints3: jnp.ndarray,     # (3, S) int32: vis_len (BEFORE extension),
                             # n_ext (new frames to make visible), stepping
@@ -707,8 +717,10 @@ def _fused_round(
 ):
     """Extend scorers + run the block beam loop, all in one program.
 
-    Returns (new state, new mem_cache, packed (S, 1+Lmax) readback of
-    [ylen, best yseq])."""
+    Returns (new state, packed (S, 1+Lmax) readback of [ylen, best yseq]).
+    Cross-attention memory is the enc_out ring itself — the decoder
+    rematerializes K/V from it each beam step (models/decoder.py), so
+    there is no per-layer KV ring to extend."""
     vis_len, n_ext = ints3[0], ints3[1]
     state = state._replace(stepping=ints3[2].astype(bool))
     # The tick path never finalizes a block inside this program (the
@@ -721,32 +733,28 @@ def _fused_round(
             ctc=ctc_extend(state.arrays.ctc, new_logp, n_ext)
         )
     )
-    mem_cache = extend_memory_cache(
-        params["decoder"], mem_cache, new_frames, vis_len, cfg, n_new=n_ext
-    )
     new_vis = vis_len + n_ext
     out = decode_block_device(
-        params, dec_pe, mem_cache, state, new_vis, block_final, cfg, beam,
+        params, dec_pe, enc_out, state, new_vis, block_final, cfg, beam,
         pre_beam, ctc_weight, use_bbd, max_length, l_bound=l_bound,
         t_bound=t_bound, penalty=penalty,
     )
     packed = jnp.concatenate(
         [out.arrays.ylen[:, None], out.arrays.yseq[:, 0, :]], axis=1
     )
-    return out, mem_cache, packed
+    return out, packed
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "beam", "pre_beam", "ctc_weight", "use_bbd",
                      "max_length", "l_bound", "t_bound", "extcap", "penalty"),
-    donate_argnames=("mem_cache", "state"),
+    donate_argnames=("state",),
 )
 def _fused_drain(
     params,
     dec_pe: jnp.ndarray,
     enc_out: jnp.ndarray,
-    mem_cache: MemoryCache,
     state: BlockDecodeState,
     ints4: jnp.ndarray,     # (4, F) int32: vis0 (visible frames at entry),
                             # buf (total emitted encoder frames), pb0
@@ -777,12 +785,12 @@ def _fused_drain(
     do = ints4[3].astype(bool)
 
     def cond(c):
-        _st, _mem, vis, pb, fdone = c
+        _st, vis, pb, fdone = c
         cur_end = bs - la + hop * pb
         return jnp.any((do & (cur_end < buf)) | (do & ~fdone & (buf > 0)))
 
     def body(c):
-        st, mem, vis, pb, fdone = c
+        st, vis, pb, fdone = c
         cur_end = bs - la + hop * pb
         ready = do & (cur_end < buf)
         fin = do & ~ready & ~fdone & (buf > 0)
@@ -797,20 +805,17 @@ def _fused_drain(
             ),
             stepping=ready | fin,
         )
-        mem = extend_memory_cache(
-            params["decoder"], mem, new_frames, vis, cfg, n_new=n_ext
-        )
         out = decode_block_device(
-            params, dec_pe, mem, st, jnp.where(ready | fin, new_vis, vis),
+            params, dec_pe, enc_out, st, jnp.where(ready | fin, new_vis, vis),
             fin, cfg, beam, pre_beam, ctc_weight, use_bbd, max_length,
             l_bound=l_bound, t_bound=t_bound, penalty=penalty,
         )
-        return (out, mem, jnp.where(ready | fin, new_vis, vis),
+        return (out, jnp.where(ready | fin, new_vis, vis),
                 jnp.where(ready, pb + 1, pb), fdone | fin)
 
-    carry = (state, mem_cache, vis0, pb0, jnp.zeros_like(do))
-    st, mem, _vis, _pb, _f = jax.lax.while_loop(cond, body, carry)
-    return st, mem
+    carry = (state, vis0, pb0, jnp.zeros_like(do))
+    st, _vis, _pb, _f = jax.lax.while_loop(cond, body, carry)
+    return st
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "beam"))
@@ -836,12 +841,10 @@ def _reset_program(
     # S=288):
     # - the decoder KV cache: rows are lane-resident and a fresh session
     #   writes position p's rows before any step reads them;
-    # - the cross-attention K/V ring: every read is masked by enc_len
-    #   (models/decoder.py::_attend_cross_blocked zeroes masked weights),
-    #   enc_len IS reset here, and extend_memory_cache sanitizes appended
-    #   rows to finite values so stale garbage can never poison the
-    #   masked contraction through 0·NaN — so it no longer enters this
-    #   program at all;
+    # - cross-attention memory K/V: REMATERIALIZED each step from enc_out
+    #   (models/decoder.py::decoder_step) with finite-sanitization, and
+    #   every read is masked by enc_len (_attend_cross_blocked zeroes
+    #   masked weights) — there is no cross-KV state to reset at all;
     # - the emitted-encoder ring enc_out (see _select_buffers).
     return (
         _select_arrays(mask, fresh_arrays, arrays),
@@ -903,7 +906,6 @@ def _extract_rows(
     arrays: BeamArrays,
     prev_arrays: BeamArrays,
     dec_cache: DecoderCache,
-    mem_cache: MemoryCache,
     prev_valid: jnp.ndarray,
     process_idx: jnp.ndarray,
     output_index: jnp.ndarray,
@@ -922,7 +924,6 @@ def _extract_rows(
         _rows_arrays(arrays, rows),
         _rows_arrays(prev_arrays, rows),
         _rows_cache(dec_cache, rows, beam),
-        MemoryCache(k=mem_cache.k[:, rows], v=mem_cache.v[:, rows]),
         prev_valid[rows],
         process_idx[rows],
         output_index[rows],
@@ -1054,7 +1055,9 @@ class StreamingEngine:
         self.prev_valid_dev = jnp.zeros((self.S,), bool)
         self.process_idx_dev = jnp.zeros((self.S,), jnp.int32)
         self.output_index_dev = jnp.zeros((self.S,), jnp.int32)
-        self.mem_cache = init_memory_cache(cfg, self.S)
+        # No cross-attention KV cache: the decoder rematerializes memory
+        # K/V from the enc_out ring every beam step (models/decoder.py) —
+        # 9.4 MB/stream of state and a per-tick extend program gone.
         self.c = SlotCounters.zeros(self.S)
         self._slot_clean = np.ones(self.S, bool)  # fresh-state slots
 
@@ -1100,7 +1103,8 @@ class StreamingEngine:
             "beam_arrays": tree_bytes(self.arrays),
             "rewind_snapshot": tree_bytes(self.prev_arrays),
             "decoder_kv_cache": tree_bytes(self.dec_cache),
-            "cross_kv_cache": tree_bytes(self.mem_cache),
+            # cross-attention K/V: rematerialized from enc_out per step —
+            # no stored state (see models/decoder.py::decoder_step)
         }
         return {k: v // self.S for k, v in per.items()} | {
             "total": sum(per.values()) // self.S
@@ -1183,12 +1187,21 @@ class StreamingEngine:
         if not slots:
             return {}
         do = np.zeros(self.S, bool)
-        all_i16 = all(
-            np.asarray(audio[s]).dtype == np.int16 for s in slots
-        )
-        audio_batch = np.zeros(
-            (self.S, self.A), np.int16 if all_i16 else np.float32
-        )
+        dtypes = {np.asarray(audio[s]).dtype for s in slots}
+        if dtypes == {np.dtype(np.uint8)}:
+            # mu-law wire (serve/wire.py): 1 byte/sample on the link —
+            # the cheapest format on a relay-attached TPU. Fill value 128
+            # is the mu-law zero code (inactive rows are never appended,
+            # see the capacity-stall note below, but keep them ~silence).
+            wire_dtype: np.dtype = np.dtype(np.uint8)
+            audio_batch = np.full((self.S, self.A), 128, np.uint8)
+        else:
+            wire_dtype = (
+                np.dtype(np.int16)
+                if dtypes == {np.dtype(np.int16)}
+                else np.dtype(np.float32)
+            )
+            audio_batch = np.zeros((self.S, self.A), wire_dtype)
         offset = cfg.block_size - cfg.look_ahead - cfg.hop_size
         emit_max = self.MAXB * cfg.hop_size + offset
         for s in slots:
@@ -1200,8 +1213,18 @@ class StreamingEngine:
             # corruption is never possible.
             if c.buf_len[s] + emit_max > self.ECAP:
                 continue
-            if not all_i16 and np.asarray(chunk).dtype == np.int16:
-                chunk = np.asarray(chunk, np.float32) / 32767.0
+            chunk = np.asarray(chunk)
+            if chunk.dtype != wire_dtype:
+                # Mixed-format tick: normalize stragglers to the batch
+                # dtype on host (the all-one-format fast paths above keep
+                # the narrow bytes on the wire).
+                if chunk.dtype == np.uint8:
+                    from speechcatcher_tpu.serve.wire import mulaw_decode
+
+                    chunk = mulaw_decode(chunk)
+                elif chunk.dtype == np.int16:
+                    chunk = chunk.astype(np.float32) / 32767.0
+                chunk = chunk.astype(wire_dtype)
             audio_batch[s] = chunk
             do[s] = True
         if not do.any():
@@ -1399,11 +1422,10 @@ class StreamingEngine:
                 # installed inside _fused_round.
                 stepping=self._false_dev,
             )
-            out, self.mem_cache, packed = _fused_round(
+            out, packed = _fused_round(
                 self.model.params,
                 self.model.dec_pe,
                 self.buffers.enc_out,
-                self.mem_cache,
                 dev_state,
                 jnp.asarray(np.stack(
                     [c.vis_len, n_ext, ready]
@@ -1460,6 +1482,11 @@ class StreamingEngine:
             # Same exact normalization as tick()/finalize_batch() — int16
             # PCM is the advertised preferred input everywhere.
             last_audio = np.asarray(last_audio, np.float32) / 32767.0
+        elif (last_audio is not None
+              and np.asarray(last_audio).dtype == np.uint8):
+            from speechcatcher_tpu.serve.wire import mulaw_decode
+
+            last_audio = mulaw_decode(np.asarray(last_audio))
         c = self.c
         cfg = self.cfg
         fin = self._finalizer
@@ -1537,10 +1564,10 @@ class StreamingEngine:
                     s=p.ctc.s[s : s + 1],
                 ),
             )
-        st.mem_cache = MemoryCache(
-            k=self.mem_cache.k[:, s : s + 1],
-            v=self.mem_cache.v[:, s : s + 1],
-        )
+        # Memory ring for the finalizer: the engine's enc_out ring rows for
+        # this slot (the finalizer's decode rematerializes cross K/V from
+        # them, exactly like the engine's own programs).
+        st.memory = self.buffers.enc_out[s : s + 1, : self.cfg.max_enc_frames]
         fin.state = st
 
         # Frontend final: wave buffer (stored right-aligned) + last audio
@@ -1604,6 +1631,12 @@ class StreamingEngine:
                  else np.asarray(a).reshape(-1))
             if a.dtype == np.int16:
                 a = a.astype(np.float32) / 32767.0
+            elif a.dtype == np.uint8:
+                # mu-law wire: finals carry <= one chunk each, so decode
+                # on host (exactly wire.mulaw_decode == the device ingest).
+                from speechcatcher_tpu.serve.wire import mulaw_decode
+
+                a = mulaw_decode(a)
             else:
                 a = a.astype(np.float32)
             if len(a) > self.A:
@@ -1699,9 +1732,9 @@ class StreamingEngine:
         rows_list = batch + [batch[0]] * (f_pad - f_real)
         rows = jnp.asarray(np.array(rows_list, np.int32))
 
-        (cb, carr, cprev, ccache, cmem, cpv, cpi, coi) = _extract_rows(
+        (cb, carr, cprev, ccache, cpv, cpi, coi) = _extract_rows(
             self.buffers, self.arrays, self.prev_arrays, self.dec_cache,
-            self.mem_cache, self.prev_valid_dev, self.process_idx_dev,
+            self.prev_valid_dev, self.process_idx_dev,
             self.output_index_dev, rows, self.beam,
         )
 
@@ -1777,8 +1810,8 @@ class StreamingEngine:
             # mask per round from the packed ints4.
             stepping=jnp.zeros(f_pad, dtype=bool),
         )
-        res, cmem = _fused_drain(
-            self.model.params, self.model.dec_pe, cb.enc_out, cmem,
+        res = _fused_drain(
+            self.model.params, self.model.dec_pe, cb.enc_out,
             dev_state,
             jnp.asarray(np.stack(
                 [vis_f, buf_f, pb_f, do_f]

@@ -125,6 +125,7 @@ class SessionManager:
         engine: StreamingEngine,
         finalize_update_iters: int = 6,
         max_partial_iters: int = 42,
+        wire: str = "int16",
     ):
         self.engine = engine
         self.tokenizer = engine.model.tokenizer
@@ -132,6 +133,11 @@ class SessionManager:
         self.chunk = engine.A
         self.finalize_update_iters = finalize_update_iters
         self.max_partial_iters = max_partial_iters
+        # host->device audio format for the batched tick (serve/wire.py):
+        # "int16" (default, bit-exact, half the float32 bytes) or "mulaw"
+        # (uint8, quarter — telephone-line quality, the cheapest format on
+        # a relay-attached TPU). The staging ring holds float32.
+        self.wire = wire
         self.sessions: Dict[int, Session] = {}
         self._next_id = 0
         # Engine state (slot counters, donated device arrays) is mutated by
@@ -206,7 +212,12 @@ class SessionManager:
             if sess.closed or sess.slot is None:
                 continue
             if sess.staged.available() >= self.chunk and not sess.pending_final:
-                batch[sess.slot] = sess.staged.read(self.chunk)
+                chunk = sess.staged.read(self.chunk)
+                if self.wire != "float32":
+                    from speechcatcher_tpu.serve.wire import encode_chunk
+
+                    chunk = encode_chunk(chunk, self.wire)
+                batch[sess.slot] = chunk
                 sid_by_slot[sess.slot] = sid
 
         if batch:
@@ -457,6 +468,12 @@ def main():
                         default=True)
     parser.add_argument("--finalize-update-iters", type=int, default=6)
     parser.add_argument("--max_partial_iters", type=int, default=42)
+    parser.add_argument("--wire", type=str, default="int16",
+                        choices=["float32", "int16", "mulaw"],
+                        help="host->device audio format for the batched "
+                        "tick: int16 is bit-exact at half the float32 "
+                        "bytes; mulaw is uint8 telephone-grade companding "
+                        "at a quarter (serve/wire.py)")
     args = parser.parse_args()
 
     from speechcatcher_tpu.parallel.mesh import initialize_distributed
@@ -487,6 +504,7 @@ def main():
         engine,
         finalize_update_iters=args.finalize_update_iters,
         max_partial_iters=args.max_partial_iters,
+        wire=args.wire,
     )
     print(f"Serving {args.pool_size} concurrent streams on "
           f"ws://{args.host}:{args.port}")

@@ -11,9 +11,7 @@ from speechcatcher_tpu.models.decoder import (
     decoder_forward_train,
     decoder_pe_table,
     decoder_step,
-    extend_memory_cache,
     init_decoder_cache,
-    init_memory_cache,
 )
 
 from helpers import make_reference_modules, reference_params_to_jax, rand_feats
@@ -91,11 +89,10 @@ def test_incremental_step_parity_with_reorder(setup):
 
     pe = decoder_pe_table(CFG)
     cache = init_decoder_cache(CFG, n)
-    mem_cache = init_memory_cache(CFG, 1)
-    mem_cache = extend_memory_cache(
-        params["decoder"], mem_cache, jnp.asarray(memory_np),
-        jnp.zeros(1, jnp.int32), CFG
-    )
+    # Raw-frame memory ring (capacity-padded): decoder_step rematerializes
+    # cross K/V from it each step; rows past enc_len are garbage-masked.
+    memory_ring = jnp.zeros((1, CFG.max_enc_frames, CFG.encoder_dim))
+    memory_ring = memory_ring.at[:, :tm].set(jnp.asarray(memory_np))
 
     sos = CFG.sos_id
     yseqs = np.full((n, 1), sos, dtype=np.int64)
@@ -111,7 +108,7 @@ def test_incremental_step_parity_with_reorder(setup):
             params["decoder"],
             pe,
             cache,
-            mem_cache,
+            memory_ring,
             jnp.asarray(yseqs[:, -1].astype(np.int32)),
             jnp.full((n,), yseqs.shape[1] - 1, jnp.int32),
             enc_len,
@@ -141,32 +138,30 @@ def test_incremental_step_parity_with_reorder(setup):
         lane = lane.at[:, :, step].set(jnp.asarray(src, jnp.int32))
 
 
-def test_memory_cache_extension(setup):
-    """Extending the encoder buffer must equal projecting it in one shot."""
+def test_memory_padding_invariance(setup):
+    """Rematerialized cross K/V must be enc_len-masked: a step over a
+    capacity-padded ring whose tail holds garbage (incl. non-finite
+    values) equals a step over the exact-length memory."""
     _, params = setup
     rng = np.random.RandomState(2)
-    m1 = rand_feats(rng, 1, 6, CFG.encoder_dim)
-    m2 = rand_feats(rng, 1, 4, CFG.encoder_dim)
+    tm = 10
+    memory_np = rand_feats(rng, 1, tm, CFG.encoder_dim)
+    pe = decoder_pe_table(CFG)
+    enc_len = jnp.full((1,), tm, jnp.int32)
+    lane = jnp.zeros((1, 1, CFG.max_tokens), jnp.int32)
+    tok = jnp.asarray([CFG.sos_id], jnp.int32)
+    args = (tok, jnp.zeros((1,), jnp.int32), enc_len, lane,
+            jnp.ones((1,), bool), CFG, 1)
 
-    mc_inc = init_memory_cache(CFG, 1)
-    mc_inc = extend_memory_cache(
-        params["decoder"], mc_inc, jnp.asarray(m1), jnp.zeros(1, jnp.int32), CFG
+    exact, _ = decoder_step(
+        params["decoder"], pe, init_decoder_cache(CFG, 1),
+        jnp.asarray(memory_np), *args
     )
-    mc_inc = extend_memory_cache(
-        params["decoder"], mc_inc, jnp.asarray(m2), jnp.full((1,), 6, jnp.int32), CFG
-    )
-
-    mc_once = init_memory_cache(CFG, 1)
-    mc_once = extend_memory_cache(
-        params["decoder"], mc_once,
-        jnp.asarray(np.concatenate([m1, m2], axis=1)),
-        jnp.zeros(1, jnp.int32), CFG,
+    ring = jnp.full((1, CFG.max_enc_frames, CFG.encoder_dim), jnp.nan)
+    ring = ring.at[:, :tm].set(jnp.asarray(memory_np))
+    padded, _ = decoder_step(
+        params["decoder"], pe, init_decoder_cache(CFG, 1), ring, *args
     )
     np.testing.assert_allclose(
-        np.asarray(mc_inc.k)[:, :, :10], np.asarray(mc_once.k)[:, :, :10],
-        rtol=1e-5, atol=1e-5,
-    )
-    np.testing.assert_allclose(
-        np.asarray(mc_inc.v)[:, :, :10], np.asarray(mc_once.v)[:, :, :10],
-        rtol=1e-5, atol=1e-5,
+        np.asarray(padded), np.asarray(exact), rtol=1e-5, atol=1e-5
     )

@@ -205,19 +205,20 @@ def test_ring_append_cols_matches_numpy():
 
 
 def test_ring_append_call_site_wiring_matches_xla(monkeypatch):
-    """Drive the REAL engine call sites (ctc_extend, extend_memory_cache,
-    _scatter_append) through the interpret-mode kernel and compare against
+    """Drive the REAL engine call sites (ctc_extend, _scatter_append)
+    through the interpret-mode kernel and compare against
     the XLA one-hot fallback — covers the offset arithmetic, axis swaps,
-    dtype casts, and eligibility gating that kernel-only unit tests miss."""
+    dtype casts, and eligibility gating that kernel-only unit tests miss.
+    (The third historical call site, extend_memory_cache, was retired:
+    cross K/V are rematerialized per step, models/decoder.py.)"""
     import jax
     from speechcatcher_tpu.decode.ctc_prefix import (
         CTCScorerState, ctc_extend, init_ctc_state,
     )
-    from speechcatcher_tpu.models.decoder import MemoryCache, extend_memory_cache
     from speechcatcher_tpu.serve.engine import _scatter_append
 
     S, V, TCAP, B = 3, 8, 256, 2       # TCAP % 128 == 0 -> cols kernel
-    TMAX, D, TNEW, L = 128, 16, 6, 2   # TMAX % 64 == 0 -> rows kernel
+    TMAX, D, TNEW = 128, 16, 6         # TMAX % 64 == 0 -> rows kernel
 
     def run_all():
         rng = np.random.default_rng(7)  # identical inputs for both runs
@@ -230,34 +231,6 @@ def test_ring_append_call_site_wiring_matches_xla(monkeypatch):
         new_logp = jnp.array(rng.standard_normal((S, TNEW, V)), jnp.float32)
         st2 = ctc_extend(st, new_logp, jnp.array([4, 6, 0], jnp.int32))
 
-        # extend_memory_cache: K/V projection rows appended at enc_len.
-        params = {
-            "layers": {
-                "src_attn": {
-                    "linear_k": {
-                        "weight": jnp.array(
-                            rng.standard_normal((L, D, D)) * 0.1, jnp.float32),
-                        "bias": jnp.zeros((L, D), jnp.float32),
-                    },
-                    "linear_v": {
-                        "weight": jnp.array(
-                            rng.standard_normal((L, D, D)) * 0.1, jnp.float32),
-                        "bias": jnp.zeros((L, D), jnp.float32),
-                    },
-                }
-            }
-        }
-        mem = MemoryCache(
-            k=jnp.array(rng.standard_normal((L, S, TMAX, D)), jnp.float32),
-            v=jnp.array(rng.standard_normal((L, S, TMAX, D)), jnp.float32),
-        )
-        new_mem = jnp.array(rng.standard_normal((S, TNEW, D)), jnp.float32)
-        enc_len = jnp.array([0, 100, 126], jnp.int32)
-        mem2 = extend_memory_cache(
-            params, mem, new_mem, enc_len, None,
-            n_new=jnp.array([6, 6, 2], jnp.int32),
-        )
-
         # _scatter_append: enc_out-style ring (cap % 64 == 0).
         buf = jnp.array(rng.standard_normal((S, TMAX, D)), jnp.float32)
         new = jnp.array(rng.standard_normal((S, TNEW, D)), jnp.float32)
@@ -265,12 +238,12 @@ def test_ring_append_call_site_wiring_matches_xla(monkeypatch):
             buf, new, jnp.array([10, 122, 0], jnp.int32),
             jnp.array([6, 6, 0], jnp.int32),
         )
-        return st2.logp, st2.r, mem2.k, mem2.v, out
+        return st2.logp, st2.r, out
 
     monkeypatch.delenv("SC_RING_APPEND_INTERPRET", raising=False)
     ref = run_all()
     monkeypatch.setenv("SC_RING_APPEND_INTERPRET", "1")
     got = run_all()
-    for r, g, name in zip(ref, got, ["logp", "r", "k", "v", "scatter"]):
+    for r, g, name in zip(ref, got, ["logp", "r", "scatter"]):
         np.testing.assert_allclose(
             np.asarray(g), np.asarray(r), rtol=0, atol=0, err_msg=name)
