@@ -742,6 +742,11 @@ def _fused_round(
     packed = jnp.concatenate(
         [out.arrays.ylen[:, None], out.arrays.yseq[:, 0, :]], axis=1
     )
+    if cfg.vocab_size < 2**15 and cfg.max_tokens < 2**15:
+        # Token ids and prefix lengths both fit int16: halve the per-tick
+        # partials D2H (193 columns × S — ~222 KB int32 at S=288 on a
+        # ~11 MB/s relay link is ~10 ms of pure readback saved).
+        packed = packed.astype(jnp.int16)
     return out, packed
 
 
