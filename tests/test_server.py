@@ -75,6 +75,30 @@ def test_partials_and_finalize(manager):
     manager.close_session(sid)
 
 
+def test_mulaw_wire_end_to_end(manager):
+    """A SessionManager configured with the uint8 mu-law wire produces a
+    well-formed Vosk result end to end (the token-exactness contract of
+    the wire itself is covered in tests/test_wire.py; this covers the
+    server plumbing: staged float32 -> encode_chunk -> engine tick)."""
+    mgr = SessionManager(manager.engine, finalize_update_iters=3,
+                         max_partial_iters=10, wire="mulaw")
+    sid = mgr.open_session()
+    assert sid is not None
+    mgr.feed(sid, pcm16(2.0, seed=7))
+    saw_tick = False
+    while mgr.ready():
+        out = mgr.tick()
+        saw_tick = saw_tick or bool(out)
+        if mgr.sessions[sid].staged.available() < CHUNK:
+            break
+    assert saw_tick, "mu-law wire produced no tick output"
+    mgr.request_final(sid)
+    out = mgr.tick()
+    assert sid in out and "result" in out[sid]
+    json.dumps(out[sid])
+    mgr.close_session(sid)
+
+
 def test_two_sessions_batched(manager):
     s1 = manager.open_session()
     s2 = manager.open_session()
