@@ -205,10 +205,12 @@ def _beam_step_core(
         return onehot_contract("sbv,sbv->sb", row, oh_chosen)
 
     def take_lineage(a):
-        """a[s, src[s,b], :] for int (S, B, L) arrays (values < 2^16 —
-        two bf16 limbs reconstruct them exactly)."""
+        """a[s, src[s,b], :] for int (S, B, L) arrays: two bf16 limbs
+        reconstruct values < 2^16 exactly; three cover the full f32
+        mantissa (token ids up to 2^24) for outsized vocabs."""
+        n_limbs = 2 if vocab <= (1 << 16) else 3
         return onehot_contract(
-            "scl,sbc->sbl", a.astype(jnp.float32), oh_src, limbs=2
+            "scl,sbc->sbl", a.astype(jnp.float32), oh_src, limbs=n_limbs
         ).astype(jnp.int32)
 
     new_yseq = take_lineage(arrays.yseq)

@@ -293,8 +293,11 @@ def ctc_advance_state(
         "scxt,sbc->sbxt", state.r.astype(jnp.float32), oh_src
     )                                                            # (S,B,2,T)
     last_src = take(last_ids, src_idx)                           # (S, B)
+    # 2 bf16 limbs are exact for token ids < 2^16; 3 cover ids < 2^24
+    # (outsized vocabs) — same guard as beam_search.take_lineage.
+    id_limbs = 2 if state.logp.shape[1] <= (1 << 16) else 3
     cand_src = onehot_contract(
-        "sck,sbc->sbk", cand_ids.astype(jnp.float32), oh_src, limbs=2
+        "sck,sbc->sbk", cand_ids.astype(jnp.float32), oh_src, limbs=id_limbs
     ).astype(jnp.int32)                                          # (S, B, K)
 
     # s_new = log_psi[src, chosen] (select_state :415).

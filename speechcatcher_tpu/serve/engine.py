@@ -1076,6 +1076,16 @@ class StreamingEngine:
         # (diagnostics; -1 until a finalize_batch ran the compact path).
         self._last_drain_max_start = -1
         self._pending_packed = None  # device array awaiting host copy
+        # Which rows of _pending_packed were computed AFTER the slot's
+        # latest reset. A slot reset between a tick and the deferred
+        # materialization of its packed readback must not resurface the
+        # previous utterance's tokens for the session that reuses the
+        # slot — _reset_slots patches _last_packed, flags the slot stale
+        # here, and marks its pending row not-fresh; tick() re-applies
+        # the stale mask after every materialization until a row computed
+        # post-reset (fresh) arrives.
+        self._pending_fresh: Optional[np.ndarray] = None
+        self._stale_partial = np.zeros(self.S, bool)
         # Cached device constant: structural placeholder for per-call bool
         # masks whose real values ride a packed int32 transfer (a fresh
         # jnp.asarray per call would cost one relay round trip each).
@@ -1173,6 +1183,11 @@ class StreamingEngine:
         if self._last_packed is not None:
             for s in slots:
                 self._last_packed[s, 0] = 1  # stale partials cleared
+        # The deferred readback may still hold pre-reset rows for these
+        # slots; keep masking them until a post-reset row lands.
+        self._stale_partial[slots] = True
+        if self._pending_fresh is not None:
+            self._pending_fresh[slots] = False
 
     # ------------------------------------------------------------------
     # Tick
@@ -1224,9 +1239,7 @@ class StreamingEngine:
                 # dtype on host (the all-one-format fast paths above keep
                 # the narrow bytes on the wire).
                 if chunk.dtype == np.uint8:
-                    from speechcatcher_tpu.serve.wire import mulaw_decode
-
-                    chunk = mulaw_decode(chunk)
+                    chunk = _mulaw_decode(chunk)
                 elif chunk.dtype == np.int16:
                     chunk = chunk.astype(np.float32) / 32767.0
                 chunk = chunk.astype(wire_dtype)
@@ -1252,6 +1265,12 @@ class StreamingEngine:
         if self._pending_packed is not None:
             self._last_packed = np.array(self._pending_packed)
             self._pending_packed = None
+            if self._pending_fresh is not None:
+                # Rows computed after the slot's reset clear its staleness;
+                # rows computed before it stay masked.
+                self._stale_partial &= ~self._pending_fresh
+                self._pending_fresh = None
+            self._last_packed[self._stale_partial, 0] = 1
 
         self._tick_encode(audio_dev, do)
         packed_dev = self._run_rounds(do)
@@ -1263,6 +1282,9 @@ class StreamingEngine:
             except AttributeError:  # older jax Array without the method
                 pass
             self._pending_packed = packed_dev
+            # Every row of this readback reflects post-(any prior)reset
+            # state; _reset_slots un-marks rows if a reset lands later.
+            self._pending_fresh = np.ones(self.S, bool)
 
         out: Dict[int, List[int]] = {}
         drop = {self.cfg.blank_id, self.cfg.eos_id}
@@ -1489,9 +1511,7 @@ class StreamingEngine:
             last_audio = np.asarray(last_audio, np.float32) / 32767.0
         elif (last_audio is not None
               and np.asarray(last_audio).dtype == np.uint8):
-            from speechcatcher_tpu.serve.wire import mulaw_decode
-
-            last_audio = mulaw_decode(np.asarray(last_audio))
+            last_audio = _mulaw_decode(np.asarray(last_audio))
         c = self.c
         cfg = self.cfg
         fin = self._finalizer
@@ -1639,9 +1659,7 @@ class StreamingEngine:
             elif a.dtype == np.uint8:
                 # mu-law wire: finals carry <= one chunk each, so decode
                 # on host (exactly wire.mulaw_decode == the device ingest).
-                from speechcatcher_tpu.serve.wire import mulaw_decode
-
-                a = mulaw_decode(a)
+                a = _mulaw_decode(a)
             else:
                 a = a.astype(np.float32)
             if len(a) > self.A:

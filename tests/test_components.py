@@ -200,3 +200,17 @@ def test_onehot_contract_exact_select_and_limbs():
         rem = rem - limb.astype(jnp.float32)
         acc = acc + limb.astype(jnp.float32)
     np.testing.assert_array_equal(np.asarray(acc), np.asarray(v))
+
+    # Outsized vocabs: token ids >= 2^16 exceed two 8-mantissa-bit limbs
+    # — the lineage call sites (decode/beam_search.py::take_lineage,
+    # decode/ctc_prefix.py::ctc_advance_state) switch to limbs=3 when
+    # vocab > 2^16; verify 3 limbs select such ids exactly.
+    big = rng.integers(0, 1 << 20, size=(2, 8, 8)).astype(np.int32)
+    big[0, 0, :3] = [65536, 70001, (1 << 20) - 1]
+    idx2 = rng.integers(0, 8, size=(2, 4)).astype(np.int32)
+    oh2 = jax.nn.one_hot(idx2, 8, dtype=jnp.float32)
+    got3 = onehot_contract(
+        "scl,sbc->sbl", jnp.asarray(big, jnp.float32), oh2, limbs=3
+    ).astype(jnp.int32)
+    want3 = np.take_along_axis(big, idx2[:, :, None], axis=1)
+    np.testing.assert_array_equal(np.asarray(got3), want3)

@@ -129,6 +129,44 @@ def test_engine_slot_reuse(model):
     assert final_to_ids(model, f[0], f[1]) == golden
 
 
+def test_slot_reuse_no_stale_partials(model):
+    """The deferred (one-tick-lagged) packed-partials readback must not
+    resurface a finalized utterance's tokens for a NEW session reusing
+    the slot: _reset_slots patches _last_packed, but _pending_packed
+    still holds a pre-reset row that tick() materializes wholesale on
+    the next tick (engine.tick's async D2H overlap)."""
+    n_chunks = 3
+    a = synth_audio(n_chunks * CHUNK / 16000 + 0.01, seed=20)
+    b = synth_audio(2 * CHUNK / 16000 + 0.01, seed=21)
+
+    engine = StreamingEngine(model, n_slots=1, beam_size=3,
+                             chunk_samples=CHUNK)
+    s = engine.acquire_slot()
+    last = {}
+    for i in range(n_chunks - 1):
+        last = engine.tick({s: a[i * CHUNK : (i + 1) * CHUNK]})
+    # Leave the last tick's readback pending (no further tick before the
+    # finalize), then finalize + reuse the slot.
+    assert engine._pending_packed is not None
+    engine.finalize_batch({s: a[(n_chunks - 1) * CHUNK :]})
+    s2 = engine.acquire_slot()
+    assert s2 == s  # reused slot
+
+    out = engine.tick({s2: b[:CHUNK]})
+    assert out[s2] == [], (
+        f"new session's first tick emitted stale tokens {out[s2]} "
+        f"(previous utterance's last partial: {last.get(s, [])})"
+    )
+    # The new session's own (lagged) partials flow normally afterwards.
+    out2 = engine.tick({s2: b[CHUNK : 2 * CHUNK]})
+    ref = StreamingEngine(model, n_slots=1, beam_size=3,
+                          chunk_samples=CHUNK)
+    r = ref.acquire_slot()
+    ref.tick({r: b[:CHUNK]})
+    ref_out = ref.tick({r: b[CHUNK : 2 * CHUNK]})
+    assert out2[s2] == ref_out[r]
+
+
 def test_engine_int16_ingest_matches_float(model):
     """int16 PCM chunks (normalized on device) must produce exactly the
     same tokens as pre-normalized float32 chunks."""

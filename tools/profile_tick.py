@@ -72,7 +72,14 @@ def main():
         do = np.zeros(engine.S, bool)
         batch = np.zeros((engine.S, engine.A), np.float32)
         for s in slots_l:
-            batch[s] = audio[s]
+            a = np.asarray(audio[s])
+            # bench.synth_audio is int16 PCM; the engine only normalizes
+            # int16/uint8 dtypes on device, so a float32 batch must carry
+            # pre-normalized samples or the frontend sees ~1e4-amplitude
+            # garbage and the phase profile measures a different workload
+            # than the full-tick loop above.
+            batch[s] = (a.astype(np.float32) / 32767.0
+                        if a.dtype == np.int16 else a)
             do[s] = True
         t0 = time.perf_counter()
         engine._tick_encode(batch, do)

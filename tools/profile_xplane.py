@@ -111,27 +111,36 @@ def main():
     A = bench.CHUNK
     ages = [(k * churn) // max(S, 1) for k in range(S)]
 
+    # Finals accumulate across ticks until a flush tick and the slot gets
+    # no more audio meanwhile, exactly like bench.measure's `pending`
+    # dict — dropping non-flush-tick finals would under-represent
+    # finalize/drain load ~FINAL_FLUSHx and let never-finalized slots
+    # grow into the capacity stall.
+    pending_finals: dict = {}  # slot -> stream index, awaiting flush
+
     def tick(i):
         audio = {}
-        finals = []
         for k, s in enumerate(slots):
+            if s in pending_finals:
+                continue  # awaiting the next finals flush
             age = ages[k]
-            if age >= churn:  # utterance over: finalize + rejoin
-                finals.append(s)
-                ages[k] = 0
+            if age >= churn:  # utterance over: await the batched finalize
+                pending_finals[s] = k
                 continue
             audio[s] = waves[k][age * A:(age + 1) * A]
             ages[k] += 1
-        if finals and i % bench.FINAL_FLUSH == 0:
+        if pending_finals and i % bench.FINAL_FLUSH == 0:
             # Mirror bench.measure: finalize with the utterance's last
             # chunk, no release_slot (finalize_batch frees the slots and
             # leaves them clean — release_slot would run an extra reset
             # program per slot and skew the trace).
             engine.finalize_batch(
-                {s: waves[0][:bench.CHUNK] for s in finals}
+                {s: waves[0][:bench.CHUNK] for s in pending_finals}
             )
-            for s in finals:
+            for s, k in pending_finals.items():
                 engine.acquire_slot()
+                ages[k] = 0
+            pending_finals.clear()
         engine.tick(audio)
 
     warm = max(2 * bench.FINAL_FLUSH, 8)
