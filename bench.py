@@ -316,13 +316,58 @@ def run_rung(n_streams: int, churn_period: int):
     from speechcatcher_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()
+    if os.environ.get("JAX_PLATFORMS", "").split(",")[0].strip() == "cpu":
+        # The axon site hook forces its platform into the live config
+        # even under JAX_PLATFORMS=cpu; pin it back before any backend
+        # initializes or a stalled relay hangs a CPU-pinned rung.
+        jax.config.update("jax_platforms", "cpu")
     on_accelerator = jax.devices()[0].platform not in ("cpu",)
     model = _build_model(on_accelerator)
     beam = 5 if on_accelerator else 2
     mean, med, p95, fl50, fl95 = measure(model, n_streams, beam,
                                          churn_period=churn_period)
     print(json.dumps({"mean": mean, "median": med, "p95": p95,
-                      "final_p50": fl50, "final_p95": fl95}))
+                      "final_p50": fl50, "final_p95": fl95,
+                      # Parent stays device-free on the accelerator path
+                      # (see _probe_platform) — it takes the analytic
+                      # FLOPs-per-tick-per-stream from the rung instead
+                      # of building a model itself.
+                      "flops_tick_stream":
+                          analytic_flops_per_tick_per_stream(model, beam)}))
+
+
+def _probe_platform() -> str:
+    """Detect the device platform WITHOUT initializing a backend in this
+    process. jax.devices() blocks for MINUTES when the TPU relay is
+    stalled (observed in round 3) — a hung parent prints nothing and the
+    driver records rc=124 with zero output. The bounded subprocess probe
+    fails safe to "tpu": the ladder then still runs its time-bounded
+    rung subprocesses and exits rc=0 with whatever it banked."""
+    import subprocess
+
+    # An explicit JAX_PLATFORMS pin (CI smoke runs set "cpu"; the driver
+    # env pins the tunneled chip's plugin name) already answers the
+    # question — and a loaded single-core host can push even a
+    # CPU-backend import past the probe timeout. "axon" is the tunnel's
+    # PJRT plugin name for the TPU; report it as tpu like the device's
+    # own .platform does.
+    env_plat = os.environ.get("JAX_PLATFORMS", "").split(",")[0].strip()
+    if env_plat:
+        return "tpu" if env_plat == "axon" else env_plat
+    for _ in range(2):
+        try:
+            res = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.devices()[0].platform)"],
+                capture_output=True, text=True, timeout=90.0,
+            )
+            out = (res.stdout or "").strip().splitlines()
+            if out:
+                return out[-1].strip()
+        except subprocess.TimeoutExpired:
+            print("# platform probe timed out (relay stalled?)",
+                  file=sys.stderr)
+    return "tpu"
 
 
 def _rung_subprocess(n_streams: int, churn_period: int, timeout_s: float):
@@ -364,14 +409,18 @@ def main():
         run_rung(int(sys.argv[i + 1]), churn)
         return
 
-    import jax
-
     from speechcatcher_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()
 
-    platform = jax.devices()[0].platform
+    platform = _probe_platform()
     on_accelerator = platform not in ("cpu",)
+    if not on_accelerator:
+        # CPU smoke path runs measure() in-parent: pin the live config
+        # (the axon site hook ignores the env pin — see _probe_platform).
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     if not on_accelerator:
         # Local smoke mode: tiny model + tiny ladder so CI stays fast.
@@ -398,8 +447,13 @@ def main():
         fallback = [256, 208, 176]
         churn_period = CHURN_PERIOD
 
-    model = _build_model(on_accelerator)
+    # Accelerator path: the parent NEVER touches the device (no model
+    # build, no jax.devices()) — every device interaction lives in a
+    # time-bounded rung subprocess, so a stalled relay can never hang the
+    # parent past the driver window. The analytic FLOPs constant comes
+    # back from the first successful rung's JSON.
     beam = 5 if on_accelerator else 2
+    model = None if on_accelerator else _build_model(False)
 
     start = time.time()
     # Second BASELINE target: single-stream p50 chunk latency (< 100 ms).
@@ -417,7 +471,11 @@ def main():
     single_p50 = got1.get("median") if got1 else None
     if single_p50 is not None:
         print(f"# S=1: p50 tick {single_p50*1000:.1f} ms", file=sys.stderr)
-    flops_tick_stream = analytic_flops_per_tick_per_stream(model, beam)
+    flops_tick_stream = (
+        analytic_flops_per_tick_per_stream(model, beam)
+        if model is not None
+        else (got1 or {}).get("flops_tick_stream")
+    )
     best_s = 0
     best_p50 = None
     best_p95 = None
@@ -431,6 +489,7 @@ def main():
         the first (round 2's unbounded first rung contributed to overrunning
         the driver window); best-so-far emission still banks partial
         ladders."""
+        nonlocal flops_tick_stream
         remaining = TIME_BUDGET_S - (time.time() - start)
         if remaining < 120:
             return None
@@ -438,6 +497,8 @@ def main():
                                timeout_s=min(remaining, RUNG_TIMEOUT_S))
         if got is None:
             return None
+        if flops_tick_stream is None:
+            flops_tick_stream = got.get("flops_tick_stream")
         if CHUNK_SEC <= got["mean"] < 1.3 * CHUNK_SEC and (
             TIME_BUDGET_S - (time.time() - start) > 180
         ):
@@ -460,7 +521,7 @@ def main():
     def result_json() -> str:
         tflops = (
             flops_tick_stream * best_s / best_p50 / 1e12
-            if best_s and best_p50 else 0.0
+            if best_s and best_p50 and flops_tick_stream else 0.0
         )
         return json.dumps({
             "metric": "concurrent_rt_streams_per_chip",
