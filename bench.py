@@ -439,7 +439,10 @@ def main():
         # cross-KV rematerialization cut per-stream HBM 24.8 -> 14.7 MB
         # (S=320 OOM'd before; ~490 streams now fit the observed ~7.5 GB
         # budget), so the ladder climbs past the old memory wall.
-        climb = [256, 320, 384, 448]
+        # 512 × 14.7 MB/stream ≈ 7.5 GB — right at the observed budget;
+        # the climb stops at the first failing rung and the time budget
+        # gates every attempt, so the extra rung risks nothing banked.
+        climb = [256, 320, 384, 448, 512]
         # Fallback re-tries the anchor first: a transient relay stall can
         # kill the anchor rung's subprocess (RUNG_TIMEOUT_S) even though
         # the rung itself is known-good — give it a second chance on a
