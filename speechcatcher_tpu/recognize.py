@@ -83,6 +83,36 @@ def upper_case_first_letter(text: str) -> str:
     return text
 
 
+def linear_interpolate_positions(positions: List[float]) -> List[float]:
+    """Spread runs of identical token positions into a linear ramp.
+
+    Tokens committed within one block share an encoder frame, so raw
+    per-token positions arrive in plateaus; each run of equal values is
+    replaced by a ramp from the previous distinct value (0 before the
+    first run) up to the run's value, with the run's last element kept
+    exact. The reference defines this transform but never calls it
+    (/root/reference/speechcatcher/speechcatcher.py:323-353 — zero call
+    sites), and its ramp coefficients are reversed (a run comes out
+    DEscending, e.g. [5,5,5] -> [3.33, 1.67, 5]); this is the evidently
+    intended monotone version ([5,5,5] -> [1.67, 3.33, 5]), wired behind
+    --interpolate-timestamps so default output stays identical to the
+    reference pipeline's (which emits the plateaus untouched)."""
+    out: List[float] = []
+    prev = 0.0
+    i, n = 0, len(positions)
+    while i < n:
+        j = i
+        while j < n and positions[j] == positions[i]:
+            j += 1
+        cur = float(positions[i])
+        run = j - i
+        out.extend(prev + (k / run) * (cur - prev)
+                   for k in range(1, run + 1))
+        prev = cur
+        i = j
+    return out
+
+
 def _decode_segment(
     s2t: Speech2TextStreaming,
     speech: np.ndarray,
@@ -203,11 +233,14 @@ def recognize(
     quiet: bool = False,
     status=None,
     decoder_impl: str = "tpu",
+    interpolate_timestamps: bool = False,
 ):
     """Transcribe int16 PCM → (complete_text, auxiliary_info)
     (reference speechcatcher.py:414-570). num_processes > 1 decodes the
     energy segments concurrently as streams of one batched engine
-    (num_processes = -1: auto); 1 decodes serially."""
+    (num_processes = -1: auto); 1 decodes serially.
+    interpolate_timestamps spreads same-block token plateaus into linear
+    ramps (see linear_interpolate_positions)."""
     assert rate == 16000
     speech = raw_speech_data.astype(np.float32) / 32767.0
     total_sec = len(speech) / rate
@@ -255,6 +288,8 @@ def recognize(
         for (seg_start, _seg_end), (text, toks, pos) in zip(
             spans, seg_results
         ):
+            if interpolate_timestamps:
+                pos = linear_interpolate_positions(pos)
             ts = [seg_start + p * frame_sec for p in pos]
             paragraphs.append((text, toks, ts))
     else:
@@ -266,6 +301,11 @@ def recognize(
                 int(seg_end * rate),
                 chunk_length,
             )
+            if interpolate_timestamps:
+                # Interpolating the seconds list is equivalent to
+                # interpolating positions (the map is affine and
+                # equal-int positions stay equal floats).
+                ts = linear_interpolate_positions(ts)
             paragraphs.append((text, toks, [seg_start + t for t in ts]))
             if bar is not None:
                 bar.update()
@@ -313,6 +353,7 @@ def recognize_file(
     chunk_length: int = 8192,
     decoder_impl: str = "tpu",
     show_ffmpeg_output: bool = False,
+    interpolate_timestamps: bool = False,
 ) -> dict:
     """Decode a media file; write <name>.txt and <name>.json
     (reference speechcatcher.py:358-402)."""
@@ -320,6 +361,7 @@ def recognize_file(
     complete_text, aux = recognize(
         s2t, data, rate, chunk_length=chunk_length, progress=progress,
         quiet=quiet, num_processes=num_processes,
+        interpolate_timestamps=interpolate_timestamps,
     )
 
     if output_file == "":
@@ -510,6 +552,11 @@ def main():
                                  "CRITICAL"])
     parser.add_argument("--show-ffmpeg-output", dest="show_ffmpeg_output",
                         action="store_true")
+    parser.add_argument("--interpolate-timestamps",
+                        dest="interpolate_timestamps", action="store_true",
+                        help="spread same-block token-timestamp plateaus "
+                             "into linear ramps (off = reference-identical "
+                             "output)")
     parser.add_argument("inputfile", nargs="?", default="")
     args = parser.parse_args()
 
@@ -554,6 +601,7 @@ def main():
             progress=not args.no_progress, chunk_length=args.chunk_length,
             num_processes=args.num_processes,
             show_ffmpeg_output=args.show_ffmpeg_output,
+            interpolate_timestamps=args.interpolate_timestamps,
         )
     else:
         parser.print_help()

@@ -145,3 +145,40 @@ def test_batched_segments_match_serial():
     )
     assert text_batch == text_serial
     assert json.dumps(aux_batch) == json.dumps(aux_serial)
+
+
+def test_linear_interpolate_positions():
+    """Plateaus of repeated positions become monotone ramps ending exactly
+    on the plateau value; distinct values pass through unchanged. (The
+    reference defines this transform but never calls it, and its ramp
+    coefficients are reversed — see the docstring in recognize.py.)"""
+    from speechcatcher_tpu.recognize import linear_interpolate_positions as lip
+
+    assert lip([]) == []
+    assert lip([4.0]) == [4.0]
+    assert lip([1.0, 2.0, 5.0]) == [1.0, 2.0, 5.0]
+    # Leading plateau ramps from 0; last element exact.
+    assert lip([6.0, 6.0, 6.0]) == [2.0, 4.0, 6.0]
+    # Interior plateau ramps from the previous distinct value.
+    assert lip([2.0, 8.0, 8.0, 8.0, 9.0]) == [2.0, 4.0, 6.0, 8.0, 9.0]
+    out = lip([3, 3, 7, 7, 7, 10])
+    assert all(b > a for a, b in zip(out, out[1:]))
+    assert out[-1] == 10.0
+
+
+def test_recognize_interpolate_timestamps_flag():
+    """interpolate_timestamps=True keeps text/tokens identical and maps
+    the timestamp list through linear_interpolate_positions exactly."""
+    from speechcatcher_tpu.recognize import linear_interpolate_positions as lip
+
+    s2t = make_s2t()
+    pcm = synth_pcm16(4.0, seed=3)
+    text0, aux0 = recognize(s2t, pcm, 16000, progress=False, quiet=True)
+    text1, aux1 = recognize(s2t, pcm, 16000, progress=False, quiet=True,
+                            interpolate_timestamps=True)
+    assert text1 == text0
+    assert [a["tokens"] for a in aux1] == [a["tokens"] for a in aux0]
+    ts0 = aux0[0]["token_timestamps"]
+    ts1 = aux1[0]["token_timestamps"]
+    assert len(ts0) > 0 and len(ts1) == len(ts0)
+    np.testing.assert_allclose(ts1, lip(ts0), rtol=0, atol=1e-9)
