@@ -33,7 +33,6 @@ from speechcatcher_tpu.decode.ctc_prefix import (
     CTCScorerState,
     ctc_advance_state,
     ctc_extend,
-    ctc_refill_blank,
     ctc_score_candidates,
     init_ctc_state,
 )
@@ -180,7 +179,6 @@ def _beam_step_core(
     flat_total = total.reshape(s_dim, beam * beam)
     best_total, best_flat = jax.lax.top_k(flat_total, beam)      # (S, B)
     src = (best_flat // beam).astype(jnp.int32)                  # (S, B)
-    rank = best_flat % beam
     chosen = jnp.take_along_axis(
         top_tokens.reshape(s_dim, beam * beam), best_flat, axis=1
     ).astype(jnp.int32)                                          # (S, B)
@@ -207,8 +205,10 @@ def _beam_step_core(
     def take_lineage(a):
         """a[s, src[s,b], :] for int (S, B, L) arrays: two bf16 limbs
         reconstruct values < 2^16 exactly; three cover the full f32
-        mantissa (token ids up to 2^24) for outsized vocabs."""
-        n_limbs = 2 if vocab <= (1 << 16) else 3
+        mantissa (values up to 2^24) for outsized configs. The selected
+        arrays carry token ids (< vocab) AND encoder positions
+        (< cfg.max_enc_frames), so the guard bounds BOTH."""
+        n_limbs = 2 if max(vocab, cfg.max_enc_frames) <= (1 << 16) else 3
         return onehot_contract(
             "scl,sbc->sbl", a.astype(jnp.float32), oh_src, limbs=n_limbs
         ).astype(jnp.int32)
@@ -598,7 +598,15 @@ class BlockwiseSynchronousBeamSearch:
         st = self.state
         cfg = self.cfg
 
-        if feats.shape[1] >= 3:
+        # Tiny non-final chunks (<3 frames) are buffered by the encoder
+        # anyway; but a FINAL chunk must ALWAYS run the encoder step —
+        # consume-all semantics flush the carried look-ahead/subsample
+        # buffers (up to a block of frames) and the tiny tail itself, or
+        # the transcript end silently truncates. Matches the reference,
+        # which feeds the final features through unconditionally
+        # (speech2text_streaming.py:386 only warns; the encoder consumes
+        # everything at is_final, contextual_block_…_encoder.py:284-305).
+        if feats.shape[1] >= 3 or is_final:
             enc_out, st.enc_state = self.encoder.step(
                 feats, st.enc_state, is_final
             )
@@ -720,32 +728,32 @@ class BlockwiseSynchronousBeamSearch:
         With coverage_weight set, the beam is re-ranked by score +
         CoverageScorer (reference scorers.py:497-526 — optional there too)."""
         arrays = self.state.arrays
+        # ONE host copy per array: per-beam float()/np.asarray() slices
+        # each pay a device->host round trip (~tens of ms on a
+        # relay-attached TPU), and this runs once per finalized utterance.
         ylen = int(arrays.ylen[0])
+        yseq_h = np.asarray(arrays.yseq[0, :, :ylen])
+        xpos_h = np.asarray(arrays.xpos[0, :, :ylen])
+        score_h = np.asarray(arrays.score[0])
         best = 0
         if self.coverage_weight:
             from speechcatcher_tpu.decode.scorers import CoverageScorer
 
             cov = CoverageScorer(self.coverage_weight)
             scores = [
-                float(arrays.score[0, b])
-                + cov.score(np.asarray(arrays.yseq[0, b, 1:ylen]))
+                float(score_h[b]) + cov.score(yseq_h[b, 1:])
                 for b in range(self.beam_size)
             ]
             best = int(np.argmax(scores))
-        yseq = np.asarray(arrays.yseq[0, best, :ylen])
-        xpos = np.asarray(arrays.xpos[0, best, :ylen])
-        return yseq, xpos, float(arrays.score[0, best])
+        return yseq_h[best], xpos_h[best], float(score_h[best])
 
     def nbest_hypotheses(self) -> List[Tuple[np.ndarray, np.ndarray, float]]:
         arrays = self.state.arrays
         ylen = int(arrays.ylen[0])
-        out = []
-        for b in range(self.beam_size):
-            out.append(
-                (
-                    np.asarray(arrays.yseq[0, b, :ylen]),
-                    np.asarray(arrays.xpos[0, b, :ylen]),
-                    float(arrays.score[0, b]),
-                )
-            )
-        return out
+        yseq_h = np.asarray(arrays.yseq[0, :, :ylen])
+        xpos_h = np.asarray(arrays.xpos[0, :, :ylen])
+        score_h = np.asarray(arrays.score[0])
+        return [
+            (yseq_h[b], xpos_h[b], float(score_h[b]))
+            for b in range(self.beam_size)
+        ]

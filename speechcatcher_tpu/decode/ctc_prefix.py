@@ -166,40 +166,14 @@ def _fill_blank(logp, r, from_len, to_len):
     return jnp.stack([r0, r1], axis=2)
 
 
-@jax.jit
-def ctc_refill_blank(
-    state: CTCScorerState,
-    from_len: jnp.ndarray,  # (S,) frames covered by (restored) r
-) -> CTCScorerState:
-    """Re-extend restored forward variables up to the current enc_len.
-
-    Used after a rewind restores hypothesis states whose r predates the last
-    extend (the log-prob ring itself is append-only and never rewinds,
-    matching the reference where extend_prob is never undone)."""
-    r = _fill_blank(state.logp, state.r, from_len.astype(jnp.int32),
-                    state.enc_len)
-    return state._replace(r=r)
-
-
-def reset_ctc_streams(state: CTCScorerState, reset: jnp.ndarray) -> CTCScorerState:
-    """Zero out streams flagged in reset (S,) bool — new utterance."""
-    m = reset[:, None, None]
-    return CTCScorerState(
-        logp=jnp.where(m, 0.0, state.logp),
-        enc_len=jnp.where(reset, 0, state.enc_len),
-        r=jnp.where(reset[:, None, None, None], LOGZERO, state.r),
-        s=jnp.where(reset[:, None], 0.0, state.s),
-    )
-
-
 @functools.partial(jax.jit, static_argnames=("blank", "eos"))
 def ctc_score_candidates(
     state: CTCScorerState,
     last_ids: jnp.ndarray,   # (S, B) last token of each hypothesis
     olen: jnp.ndarray,       # (S,) output length (tokens excl. SOS)
     cand_ids: jnp.ndarray,   # (S, B, K) candidate tokens (decoder pre-beam)
-    blank: int = 0,
-    eos: int = 0,
+    blank: int,
+    eos: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Candidate prefix scores without recursion.
 
@@ -207,6 +181,12 @@ def ctc_score_candidates(
     log_psi (S,B,V)) — semantics of reference __call__ :249-291.
     All intermediates are (S, B, K, T): time on the minor (lane) axis.
     """
+    if blank == eos:
+        # The EOS score lands in its own vocab column and the blank
+        # column is overwritten with LOGZERO afterwards — a shared id
+        # would silently erase the EOS score and streams could never
+        # terminate.
+        raise ValueError(f"blank ({blank}) must differ from eos ({eos})")
     s_dim, vocab, t_cap = state.logp.shape
     beam = state.r.shape[1]
     t_idx = jnp.arange(t_cap)

@@ -527,7 +527,12 @@ class StreamingEncoder:
             buf_before = xs[:, xs.shape[1] - n_res :, :]
             xs = xs[:, : n_samples * sub, :]
 
-        xs = _subsample_jit(self.params["embed"], xs, cfg.input_layer)
+        if subsampled_len(xs.shape[1], cfg.input_layer) > 0:
+            xs = _subsample_jit(self.params["embed"], xs, cfg.input_layer)
+        else:
+            # Final flush with a sub-kernel-size tail: the conv would have
+            # a negative output dimension — nothing new to subsample.
+            xs = jnp.zeros((b, 0, d))
 
         if state.buf_after is not None:
             xs = jnp.concatenate([state.buf_after, xs], axis=1)
@@ -537,6 +542,10 @@ class StreamingEncoder:
 
         buf_after = None
         if is_final:
+            if total_frame_num == 0:
+                # Pure flush of a state with no carried frames: nothing to
+                # emit (degenerate; the decode drain handles the rest).
+                return jnp.zeros((b, 0, d)), None
             block_num = math.ceil(
                 float(total_frame_num - past_size - cfg.look_ahead)
                 / float(cfg.hop_size)

@@ -1693,28 +1693,30 @@ class StreamingEngine:
                 continue
             nf = 1 + total_p // hop
             trim_start = 0 if c.first_wave[s] else self.trim
-            valid_feats = nf - trim_start
-            if valid_feats < 3:
-                # Mirrors the single-stream `feats.shape[1] >= 3` gate
-                # (beam_search.py::process_block): tiny tails are dropped.
-                valid_feats = 0
-            if valid_feats:
-                raw_total = int(c.raw_len[s]) + valid_feats
-                n_sub = max(0, subsampled_len(raw_total, cfg.input_layer))
-            else:
-                n_sub = 0
+            # Consume-all on final: even a 1-2 frame tail flows through
+            # (matches process_block's unconditional final encoder step).
+            valid_feats = max(0, nf - trim_start)
+            # A dropped tiny tail (valid_feats == 0) still flushes the
+            # carried raw/post frames on final — the conv consumes the
+            # whole raw carry and the leftover post frames form the final
+            # block(s), exactly like the single-stream final step
+            # (models/encoder.py::step is_final consume-all; the
+            # process_block flush-only branch).
+            raw_total = int(c.raw_len[s]) + valid_feats
+            n_sub = (max(0, subsampled_len(raw_total, cfg.input_layer))
+                     if raw_total > 0 else 0)
             post_total = int(c.post_len[s]) + n_sub
             npb = int(c.npb[s])
-            if valid_feats and npb == 0 and 0 < post_total <= bs:
+            if npb == 0 and 0 < post_total <= bs:
                 fallback.append(s)  # short-segment path (_infer_short)
                 continue
-            if valid_feats and post_total > 0:
+            if post_total > 0:
                 # Final block count + emission length (encoder step
                 # is_final semantics: models/encoder.py:535-565).
                 bn = max(1, -(-(post_total - offset - la) // hop_b))
                 y_emit = post_total if npb == 0 else post_total - offset
             else:
-                bn, y_emit = 0, 0  # tiny tail: no encoder step, decode only
+                bn, y_emit = 0, 0  # nothing carried: decode-only drain
             if y_emit < 0 or int(c.buf_len[s]) + y_emit > self.ECAP:
                 fallback.append(s)  # degenerate or ring-overflow: loud path
                 continue

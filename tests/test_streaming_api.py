@@ -266,3 +266,39 @@ def test_int8_all_quantizes_decoder_and_session_decodes():
         model=model11, beam_size=2, dtype="int8-all"
     ).recognize(audio)
     assert isinstance(res8, list)
+
+
+def test_tiny_final_chunk_flushes_encoder_tail():
+    """A final chunk under 3 feature frames (<48 ms) must still run the
+    final encoder step (consume-all): the carried look-ahead/subsample
+    buffers flush, so the transcript reaches the end of the audio like a
+    session whose final chunk is full-sized. Exact token equality is NOT
+    expected — a sub-win_length final is zero-padded before the STFT
+    reflection (reference apply_frontend :308-315), which perturbs the
+    last frames — but before the flush fix the tiny-final session lost a
+    whole block: 6 of 31 tokens and 7 of 36 encoder frames on this
+    fixture."""
+    chunk = 8192
+    audio = synth_audio(2.0)
+    audio = audio[: 3 * chunk + 100]  # final remainder: 100 samples
+
+    s2t = make_session(seed=4)
+    for i in range(3):
+        s2t(audio[i * chunk : (i + 1) * chunk], is_final=False)
+    r_tiny = s2t(audio[3 * chunk :], is_final=True)
+
+    s2t2 = make_session(seed=4)
+    for i in range(2):
+        s2t2(audio[i * chunk : (i + 1) * chunk], is_final=False)
+    r_merged = s2t2(audio[2 * chunk :], is_final=True)
+
+    assert r_tiny and r_merged
+    ids_t, pos_t = r_tiny[0][2], r_tiny[0][3]
+    ids_m, pos_m = r_merged[0][2], r_merged[0][3]
+    # Same coverage: token count within 1 and final encoder position
+    # within 2 frames (old code: 25 vs 31 tokens, frame 29 vs 36).
+    assert abs(len(ids_t) - len(ids_m)) <= 1, (ids_t, ids_m)
+    assert abs(max(pos_t) - max(pos_m)) <= 2, (pos_t, pos_m)
+    # And identical transcription away from the padding-perturbed tail.
+    n = max(len(ids_m) - 6, 0)
+    assert ids_t[:n] == ids_m[:n]
