@@ -130,18 +130,40 @@ def convert_state_dict(
     """Numpy state_dict → {encoder, decoder, ctc} JAX parameter pytree."""
     import jax.numpy as jnp
 
-    n_convs = {"conv2d": 2, "conv2d6": 2, "conv2d8": 3}[cfg.input_layer]
-    convs = []
-    for i in range(n_convs):
-        # Sequential indices: Conv2d at 0, 2, 4 (ReLU between). Checkpoints
-        # may name the stack embed.conv.N (ESPnet) or embed.N.
-        w = _get(sd, f"encoder.embed.conv.{2*i}.weight",
-                 f"encoder.embed.{2*i}.weight")
-        b = _get(sd, f"encoder.embed.conv.{2*i}.bias",
-                 f"encoder.embed.{2*i}.bias")
-        convs.append({"weight": jnp.asarray(w), "bias": jnp.asarray(b)})
-    embed_out = _get(sd, "encoder.embed.out.weight", "encoder.embed.out.0.weight")
-    embed_out_b = _get(sd, "encoder.embed.out.bias", "encoder.embed.out.0.bias")
+    if cfg.input_layer == "linear":
+        # Sequential: Linear at 0, LayerNorm at 1 (Dropout/ReLU hold no
+        # params) — reference contextual_block_…_encoder.py:81-88.
+        embed_tree: Dict[str, Any] = {
+            "out": {
+                "weight": jnp.asarray(_get(sd, "encoder.embed.0.weight")),
+                "bias": jnp.asarray(_get(sd, "encoder.embed.0.bias")),
+            },
+            "norm": {
+                "weight": jnp.asarray(_get(sd, "encoder.embed.1.weight")),
+                "bias": jnp.asarray(_get(sd, "encoder.embed.1.bias")),
+            },
+        }
+    else:
+        n_convs = {"conv2d": 2, "conv2d6": 2, "conv2d8": 3}[cfg.input_layer]
+        convs = []
+        for i in range(n_convs):
+            # Sequential indices: Conv2d at 0, 2, 4 (ReLU between).
+            # Checkpoints may name the stack embed.conv.N (ESPnet) or
+            # embed.N.
+            w = _get(sd, f"encoder.embed.conv.{2*i}.weight",
+                     f"encoder.embed.{2*i}.weight")
+            b = _get(sd, f"encoder.embed.conv.{2*i}.bias",
+                     f"encoder.embed.{2*i}.bias")
+            convs.append({"weight": jnp.asarray(w), "bias": jnp.asarray(b)})
+        embed_out = _get(sd, "encoder.embed.out.weight",
+                         "encoder.embed.out.0.weight")
+        embed_out_b = _get(sd, "encoder.embed.out.bias",
+                           "encoder.embed.out.0.bias")
+        embed_tree = {
+            "convs": convs,
+            "out": {"weight": jnp.asarray(embed_out),
+                    "bias": jnp.asarray(embed_out_b)},
+        }
 
     is_conformer = any(
         k.startswith("encoder.encoders.0.norm_mha") for k in sd
@@ -212,11 +234,7 @@ def convert_state_dict(
             )
 
     encoder = {
-        "embed": {
-            "convs": convs,
-            "out": {"weight": jnp.asarray(embed_out),
-                    "bias": jnp.asarray(embed_out_b)},
-        },
+        "embed": embed_tree,
         "layers": _stack(enc_layers),
         "after_norm": {
             "weight": jnp.asarray(_get(sd, "encoder.after_norm.weight")),

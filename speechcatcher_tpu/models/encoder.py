@@ -57,35 +57,49 @@ _CONV_SPECS = {
 # Parameters
 # ---------------------------------------------------------------------------
 
-def conv_output_feat_dim(input_dim: int, input_layer: str) -> int:
+def _conv_len(n_in: int, input_layer: str) -> int:
+    """Output length of the subsampling stack along one VALID-conv axis
+    (time and frequency share kernels/strides). 'linear' keeps length."""
+    if input_layer == "linear":
+        return n_in
     kernels, strides = _CONV_SPECS[input_layer]
-    out = input_dim
+    out = n_in
     for k, s in zip(kernels, strides):
         out = math.floor((out - k) / s + 1)
     return out
+
+
+def conv_output_feat_dim(input_dim: int, input_layer: str) -> int:
+    return _conv_len(input_dim, input_layer)
 
 
 def init_encoder_params(key: jax.Array, cfg: ModelConfig) -> Params:
     """Random-init encoder parameter pytree (checkpoints overwrite this)."""
     keys = jax.random.split(key, 8)
     d = cfg.encoder_dim
-    kernels, _ = _CONV_SPECS[cfg.input_layer]
-    embed: Dict = {"convs": []}
-    in_ch = 1
-    kc = jax.random.split(keys[0], len(kernels))
-    for i, k in enumerate(kernels):
-        bound = 1.0 / math.sqrt(in_ch * k * k)
-        embed["convs"].append(
-            {
-                "weight": jax.random.uniform(
-                    kc[i], (d, in_ch, k, k), minval=-bound, maxval=bound
-                ),
-                "bias": jnp.zeros((d,)),
-            }
-        )
-        in_ch = d
-    feat = conv_output_feat_dim(cfg.n_mels, cfg.input_layer)
-    embed["out"] = init_linear(keys[1], d * feat, d)
+    if cfg.input_layer == "linear":
+        embed: Dict = {
+            "out": init_linear(keys[1], cfg.n_mels, d),
+            "norm": init_layer_norm(d),
+        }
+    else:
+        kernels, _ = _CONV_SPECS[cfg.input_layer]
+        embed = {"convs": []}
+        in_ch = 1
+        kc = jax.random.split(keys[0], len(kernels))
+        for i, k in enumerate(kernels):
+            bound = 1.0 / math.sqrt(in_ch * k * k)
+            embed["convs"].append(
+                {
+                    "weight": jax.random.uniform(
+                        kc[i], (d, in_ch, k, k), minval=-bound, maxval=bound
+                    ),
+                    "bias": jnp.zeros((d,)),
+                }
+            )
+            in_ch = d
+        feat = conv_output_feat_dim(cfg.n_mels, cfg.input_layer)
+        embed["out"] = init_linear(keys[1], d * feat, d)
 
     if cfg.encoder_type == "conformer":
         from speechcatcher_tpu.ops.conformer import (
@@ -133,7 +147,17 @@ def init_encoder_params(key: jax.Array, cfg: ModelConfig) -> Params:
 
 
 def encoder_pe_table(cfg: ModelConfig) -> jnp.ndarray:
-    return jnp.asarray(sinusoidal_pe_table(cfg.encoder_dim, cfg.pos_enc_max_len))
+    """Sinusoidal PE table sized so streaming offsets can never clamp.
+
+    add_positional_encoding's dynamic_slice SATURATES its start index, so
+    an offset past the table end would silently reuse the final PE window
+    instead of advancing positions. Utterance length is capacity-bounded
+    (cfg.max_enc_frames emitted frames; decode/beam_search raises past
+    it), so covering max_enc_frames + one block + the ctx row keeps the
+    clamp unreachable for every supported stream length."""
+    n = max(cfg.pos_enc_max_len,
+            cfg.max_enc_frames + cfg.block_size + 2)
+    return jnp.asarray(sinusoidal_pe_table(cfg.encoder_dim, n))
 
 
 # ---------------------------------------------------------------------------
@@ -141,7 +165,17 @@ def encoder_pe_table(cfg: ModelConfig) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def conv2d_subsample(p: Params, x: jnp.ndarray, input_layer: str) -> jnp.ndarray:
-    """(B, T, feat) → (B, T', d) (reference model/encoder/subsampling.py:71-106)."""
+    """(B, T, feat) → (B, T', d) (reference model/encoder/subsampling.py:71-106).
+
+    input_layer='linear': Linear → LayerNorm → ReLU per frame, no time
+    reduction (reference contextual_block_transformer_encoder.py:81-88 —
+    raw nn.LayerNorm there, so eps is torch's 1e-5 default, not the
+    ESPnet 1e-12 wrapper; dropout is identity at inference)."""
+    if input_layer == "linear":
+        from speechcatcher_tpu.ops.layers import linear
+
+        h = layer_norm(p["norm"], linear(p["out"], x), eps=1e-5)
+        return jax.nn.relu(h)
     kernels, strides = _CONV_SPECS[input_layer]
     h = x[:, None, :, :]  # NCHW: (B, 1, T, feat)
     for conv, s in zip(p["convs"], strides):
@@ -164,11 +198,7 @@ def conv2d_subsample(p: Params, x: jnp.ndarray, input_layer: str) -> jnp.ndarray
 
 
 def subsampled_len(n_in: int, input_layer: str) -> int:
-    kernels, strides = _CONV_SPECS[input_layer]
-    out = n_in
-    for k, s in zip(kernels, strides):
-        out = math.floor((out - k) / s + 1)
-    return out
+    return _conv_len(n_in, input_layer)
 
 
 # ---------------------------------------------------------------------------
@@ -241,7 +271,6 @@ def apply_layers_infer(
     trailing blocks are padding).
     """
     b, bn, w, d = xs_chunk.shape
-    bmask = mask  # shared 2-D geometry mask (Pallas block-attention path)
     if last_block is None:
         last_block = jnp.full((b,), bn - 1, jnp.int32)
     layer_fn = _conformer_block if layer_kind == "conformer" else _attn_ffn
@@ -249,7 +278,7 @@ def apply_layers_infer(
     def body(x, layer_in):
         p_layer, past_l = layer_in  # past_l: (B, d)
         h = x.reshape(b * bn, w, d)
-        h = layer_fn(p_layer, h, bmask, n_head, pos_emb=pos_emb)
+        h = layer_fn(p_layer, h, mask, n_head, pos_emb=pos_emb)
         x = h.reshape(b, bn, w, d)
         # Context propagation: block 0 pos 0 ← past ctx (or own last frame on
         # the first chunk); block i pos 0 ← block i-1 last frame.
@@ -286,14 +315,13 @@ def apply_layers_train(
     placed by the driver.
     """
     b, bn, w, d = xs_chunk.shape
-    bmask = mask  # shared 2-D geometry mask (Pallas block-attention path)
     layer_fn = _conformer_block if layer_kind == "conformer" else _attn_ffn
 
     def body(carry, p_layer):
         x, ctx, has_ctx = carry
         x = jnp.where(has_ctx, x.at[:, :, 0, :].set(ctx), x)
         h = x.reshape(b * bn, w, d)
-        h = layer_fn(p_layer, h, bmask, n_head, pos_emb=pos_emb)
+        h = layer_fn(p_layer, h, mask, n_head, pos_emb=pos_emb)
         x = h.reshape(b, bn, w, d)
         # next_ctx shift: block 0 ← own last frame; block i ← block i-1.
         ctx = jnp.concatenate([x[:, 0:1, -1, :], x[:, :-1, -1, :]], axis=1)
@@ -640,12 +668,14 @@ def encoder_forward_train(
     b = feats.shape[0]
     xs = conv2d_subsample(params["embed"], feats, cfg.input_layer)
     # Mask subsampling (reference subsampling.py:101-105).
-    t_sub = xs.shape[1]
-    kernels, strides = _CONV_SPECS[cfg.input_layer]
-    lens = ilens
-    for k, s in zip(kernels, strides):
-        lens = (lens - k) // s + 1
-    olens = lens
+    if cfg.input_layer == "linear":
+        olens = ilens
+    else:
+        kernels, strides = _CONV_SPECS[cfg.input_layer]
+        lens = ilens
+        for k, s in zip(kernels, strides):
+            lens = (lens - k) // s + 1
+        olens = lens
 
     total = xs.shape[1]
     bs, hop, la = cfg.block_size, cfg.hop_size, cfg.look_ahead

@@ -186,7 +186,11 @@ def rel_position_attention(
     q_v = q + p["pos_bias_v"][None, :, None, :]
     matrix_ac = jnp.einsum("bhqd,bhkd->bhqk", q_u, k,
                            preferred_element_type=jnp.float32)
-    matrix_bd = jnp.einsum("bhqd,uhkd->bhqk", q_v, pos,
+    # Broadcast a shared (1, ...) position table across the batch; a
+    # per-batch table stays per-batch. (A 'uhkd' contraction here would
+    # SUM over the unmatched batch axis — silent corruption for B > 1.)
+    pos_b = jnp.broadcast_to(pos, (q_v.shape[0],) + pos.shape[1:])
+    matrix_bd = jnp.einsum("bhqd,bhkd->bhqk", q_v, pos_b,
                            preferred_element_type=jnp.float32)
     matrix_bd = rel_shift(matrix_bd)
     scores = (matrix_ac + matrix_bd) / math.sqrt(dk)

@@ -1332,12 +1332,13 @@ class StreamingEngine:
         n_sub_in = np.where(can_sub, n_samples * sub, 0)  # frames consumed
         # conv output count for n_samples*sub input frames — vectorized
         # (a per-slot Python loop here ran every tick over all S slots).
-        from speechcatcher_tpu.models.encoder import _CONV_SPECS
-
-        kernels, strides = _CONV_SPECS[cfg.input_layer]
         outs = n_sub_in.astype(np.int64)
-        for k, st in zip(kernels, strides):
-            outs = (outs - k) // st + 1
+        if cfg.input_layer != "linear":  # linear keeps length (subsample=1)
+            from speechcatcher_tpu.models.encoder import _CONV_SPECS
+
+            kernels, strides = _CONV_SPECS[cfg.input_layer]
+            for k, st in zip(kernels, strides):
+                outs = (outs - k) // st + 1
         n_sub_out = np.where(can_sub, outs, 0)
         n_res_raw = np.where(can_sub, raw_total % sub + sub * 2, raw_total)
         consumed = np.where(can_sub, raw_total - n_res_raw, 0)

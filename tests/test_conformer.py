@@ -146,3 +146,36 @@ def test_conformer_forward_train_runs():
         jnp.full((2,), 170, jnp.int32), cfg,
     )
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_rel_position_attention_batched_pos_emb():
+    """A per-batch (B, Tk, d) pos_emb must act per batch row — the old
+    'bhqd,uhkd->bhqk' einsum SUMMED over the unmatched pos batch axis,
+    silently corrupting every batch element for B >= 2."""
+    from speechcatcher_tpu.ops.conformer import init_rel_mha
+
+    import jax
+
+    params = init_rel_mha(jax.random.PRNGKey(0), D, H)
+    rng = np.random.RandomState(5)
+    t = 7
+    x = rng.randn(2, t, D).astype(np.float32)
+    pos = rng.randn(2, t, D).astype(np.float32)
+
+    batched = np.asarray(
+        rel_position_attention(
+            params, jnp.asarray(x), jnp.asarray(x), jnp.asarray(x),
+            jnp.asarray(pos), None, H,
+        )
+    )
+    for b in range(2):
+        single = np.asarray(
+            rel_position_attention(
+                params,
+                jnp.asarray(x[b : b + 1]), jnp.asarray(x[b : b + 1]),
+                jnp.asarray(x[b : b + 1]), jnp.asarray(pos[b : b + 1]),
+                None, H,
+            )
+        )
+        np.testing.assert_allclose(batched[b : b + 1], single,
+                                   rtol=1e-5, atol=1e-6)

@@ -111,3 +111,46 @@ def test_coverage_weight_reranks_final_beam():
 
     cov = CoverageScorer(1.0)
     assert cov.score(list(y1[1:])) >= cov.score(list(y0[1:]))
+
+
+def test_linear_input_layer_parity_and_session():
+    """input_layer='linear' (reference contextual_block_…_encoder.py:81-88:
+    Linear → LayerNorm(torch default eps) → Dropout → ReLU, subsample=1):
+    embed parity vs the reference torch Sequential, and an end-to-end
+    session decodes with it."""
+    torch.manual_seed(3)
+    d, feat = 16, 20
+    ref = torch.nn.Sequential(
+        torch.nn.Linear(feat, d),
+        torch.nn.LayerNorm(d),
+        torch.nn.Dropout(0.0),
+        torch.nn.ReLU(),
+    )
+    ref.eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = {
+        "out": {"weight": jnp.asarray(sd["0.weight"]),
+                "bias": jnp.asarray(sd["0.bias"])},
+        "norm": {"weight": jnp.asarray(sd["1.weight"]),
+                 "bias": jnp.asarray(sd["1.bias"])},
+    }
+    rng = np.random.RandomState(2)
+    x = rng.randn(2, 50, feat).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x))
+    ours = np.asarray(conv2d_subsample(params, jnp.asarray(x), "linear"))
+    assert ours.shape == tuple(ref_out.shape)
+    assert subsampled_len(50, "linear") == 50
+    np.testing.assert_allclose(ours, ref_out.numpy(), rtol=1e-4, atol=1e-5)
+
+    # End-to-end: a linear-embed session streams and finalizes.
+    cfg = tiny_config().replace(input_layer="linear")
+    assert cfg.subsample == 1
+    model = ASRModel.random_init(cfg, seed=5)
+    s2t = Speech2TextStreaming(model=model, beam_size=2)
+    rng = np.random.RandomState(3)
+    audio = (0.3 * np.sin(2 * np.pi * 300 * np.arange(16000) / 16000)
+             + 0.05 * rng.randn(16000)).astype(np.float32)
+    results = s2t(audio[:8192], is_final=False)
+    results = s2t(audio[8192:], is_final=True)
+    assert isinstance(results, list)
