@@ -397,7 +397,7 @@ def list_microphones():
             print("Input Device id ", i, " - ", dev.get("name"))
 
 
-def _read_mic_chunk_with_advice(stream, chunksize, prev_lines,
+def _read_mic_chunk_with_advice(stream, chunksize, prev_lines_fn,
                                 exception_on_overflow=True):
     """stream.read with remediation advice on input overflow
     (reference speechcatcher.py:657-678): overflow means decoding fell
@@ -423,7 +423,10 @@ def _read_mic_chunk_with_advice(stream, chunksize, prev_lines,
                   "beam decodes faster with slightly less accuracy.")
             print("and/or")
             print("Solution 3: use a smaller and faster model (-m ..._m).")
-            print(prev_lines * "\n")
+            # prev_lines_fn reads the CURRENT rendered-line count at
+            # exception time (the future was submitted before the latest
+            # render, so a plain value would be stale).
+            print(prev_lines_fn() * "\n")
         else:
             print("An OS error occurred:", e)
         sys.exit(-1)
@@ -465,14 +468,14 @@ def recognize_microphone(
 
     with ThreadPoolExecutor(max_workers=1) as ex:
         fut = ex.submit(
-            _read_mic_chunk_with_advice, stream, chunksize, prev_lines,
-            exception_on_pyaudio_overflow,
+            _read_mic_chunk_with_advice, stream, chunksize,
+            lambda: prev_lines, exception_on_pyaudio_overflow,
         )
         for i in range(int(samplerate / chunksize * record_max_seconds) + 1):
             data = np.frombuffer(fut.result(timeout=2), dtype=np.int16)
             fut = ex.submit(
-                _read_mic_chunk_with_advice, stream, chunksize, prev_lines,
-                exception_on_pyaudio_overflow,
+                _read_mic_chunk_with_advice, stream, chunksize,
+                lambda: prev_lines, exception_on_pyaudio_overflow,
             )
             if save_debug_wav:
                 blocks.append(data)
@@ -569,7 +572,9 @@ def main():
     if not args.model.startswith(("http://", "https://")) and not Path(
         args.model
     ).exists():
-        if args.model not in tags:
+        # "org/name" is a HuggingFace repo id — resolved by the zoo
+        # downloader like the help text advertises, not a typo'd tag.
+        if args.model not in tags and "/" not in args.model:
             print(f"Model {args.model} is not a valid model!")
             print("Options are:", ", ".join(tags.keys()))
             sys.exit(-1)

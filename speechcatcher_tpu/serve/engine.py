@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import logging
 import math
 import os
 from typing import Dict, List, NamedTuple, Optional, Tuple
@@ -63,6 +64,8 @@ from speechcatcher_tpu.models.encoder import (
 from speechcatcher_tpu.ops.layers import layer_norm, onehot_contract
 from speechcatcher_tpu.ops.frontend import frame_signal
 from speechcatcher_tpu.serve.wire import mulaw_decode as _mulaw_decode
+
+logger = logging.getLogger(__name__)
 
 # uint8 wire expansion table: one row per mu-law code, computed by the
 # SAME host function tests/clients use, so device ingest == host decode
@@ -1146,6 +1149,17 @@ class StreamingEngine:
     def release_slot(self, s: int):
         self._reset_slot(s)
 
+    def slot_would_stall(self, s: int) -> bool:
+        """True when one more chunk could overflow the encoder ring — the
+        SAME guard tick() applies before consuming a slot's audio. Callers
+        that stage audio themselves should check this BEFORE destructively
+        dequeuing a chunk: tick() silently skips stalled slots, so a chunk
+        passed anyway is dropped on the floor."""
+        cfg = self.cfg
+        offset = cfg.block_size - cfg.look_ahead - cfg.hop_size
+        emit_max = self.MAXB * cfg.hop_size + offset
+        return bool(self.c.buf_len[s] + emit_max > self.ECAP)
+
     def _reset_slot(self, s: int):
         self._reset_slots([s])
 
@@ -1230,7 +1244,8 @@ class StreamingEngine:
             # Capacity stall: a stream whose encoder ring would overflow
             # stops consuming audio; its partials freeze, which trips the
             # caller's plateau endpointing → finalize. Silent wraparound
-            # corruption is never possible.
+            # corruption is never possible. (slot_would_stall is this same
+            # predicate — callers can probe it before dequeuing audio.)
             if c.buf_len[s] + emit_max > self.ECAP:
                 continue
             chunk = np.asarray(chunk)
@@ -1638,11 +1653,15 @@ class StreamingEngine:
         one batched slot reset.
 
         Slots that need the reference's short-segment encoder path
-        (npb==0 and ≤1 block of frames: models/encoder.py:553-554) or that
-        would overflow the encoder ring fall back to the parity-tested
-        single-stream finalizer.
+        (npb==0 and ≤1 block of frames: models/encoder.py:553-554) or an
+        oversize (>1 chunk) tail fall back to the parity-tested
+        single-stream finalizer; a slot AT ring capacity is clamped to a
+        decode-only drain instead (see below). A fallback slot whose
+        finalize raises is quarantined (reset, absent from the result)
+        rather than poisoning the already-finalized batch.
 
-        Returns slot → (yseq, xpos, score), token-exact vs `finalize`.
+        Returns slot → (yseq, xpos, score), token-exact vs `finalize`
+        (except the capacity-clamp case, where `finalize` raises).
         """
         c = self.c
         cfg = self.cfg
@@ -1718,9 +1737,21 @@ class StreamingEngine:
                 y_emit = post_total if npb == 0 else post_total - offset
             else:
                 bn, y_emit = 0, 0  # nothing carried: decode-only drain
-            if y_emit < 0 or int(c.buf_len[s]) + y_emit > self.ECAP:
-                fallback.append(s)  # degenerate or ring-overflow: loud path
+            if y_emit < 0:
+                fallback.append(s)  # degenerate geometry: exact slow path
                 continue
+            if int(c.buf_len[s]) + y_emit > self.ECAP:
+                # Ring full (capacity stall): clamp to a decode-only drain
+                # of the already-ringed frames. The carried sub-block tail
+                # (< block_size frames ≈ 0.6 s) is dropped — vastly better
+                # than failing the whole ~ring-length utterance (the
+                # single-stream finalizer would raise here; serving must
+                # degrade gracefully instead, SURVEY §5.3/§5.7).
+                logger.warning(
+                    "slot %d finalized at ring capacity: dropping %d "
+                    "carried frames (decode-only drain)", s, y_emit,
+                )
+                bn, y_emit = 0, 0
             meta[s] = (total_p, trim_start, valid_feats, n_sub, post_total,
                        bn, y_emit)
             batch.append(s)
@@ -1730,7 +1761,21 @@ class StreamingEngine:
             out.update(self._finalize_compact(batch, items, meta))
 
         for s in fallback:
-            out[s] = self.finalize(s, items[s])
+            # Per-slot isolation: by the time a fallback slot fails, the
+            # compact batch may already have finalized AND reset its own
+            # slots — raising here would discard those computed results
+            # and tempt the caller into re-finalizing reset slots.
+            # Quarantine the failing slot instead; it is simply absent
+            # from the returned dict (SURVEY §5.3 isolation).
+            try:
+                out[s] = self.finalize(s, items[s])
+            except Exception:
+                logger.exception("finalize failed for slot %d; "
+                                 "quarantining", s)
+                try:
+                    self._reset_slot(s)
+                finally:
+                    self.c.active[s] = False
         return out
 
     def _finalize_compact(

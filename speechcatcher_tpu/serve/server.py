@@ -49,6 +49,10 @@ class Session:
     n_best_lens: List[int] = field(default_factory=list)
     partial_iters: int = 0
     pending_final: bool = False
+    # Client sent eof/reset: decode EVERYTHING staged (draining full
+    # chunks through normal ticks first), not just the current buffer.
+    # Survives intermediate segment finals until the backlog is consumed.
+    eof_requested: bool = False
     closed: bool = False
     outbox: Optional[asyncio.Queue] = None
     ffmpeg: Optional[subprocess.Popen] = None
@@ -85,12 +89,22 @@ class Session:
 
     # -- compressed input (webm/mp3/ogg/...) via a per-session ffmpeg
     #    pipeline, like the reference (speechcatcher_server.py:99-202) -----
-    def start_ffmpeg(self, audio_format: str, out_rate: int):
+    def start_ffmpeg(self, audio_format: str, out_rate: int,
+                     in_rate: Optional[int] = None):
+        """audio_format 's16le' + in_rate: raw-PCM resampling pipeline (the
+        reference's non-16k path, speechcatcher_server.py:105-118) — a
+        STATEFUL resampler, unlike per-message scipy calls whose filter
+        edges click at every websocket frame boundary."""
         import threading
 
-        cmd = [
-            "ffmpeg", "-loglevel", "error",
-            "-f", audio_format, "-i", "pipe:0",
+        cmd = ["ffmpeg", "-loglevel", "error"]
+        if audio_format == "s16le":
+            cmd += ["-f", "s16le", "-ar", str(in_rate or out_rate),
+                    "-ac", "1"]
+        else:
+            cmd += ["-f", audio_format]
+        cmd += [
+            "-i", "pipe:0",
             "-f", "s16le", "-acodec", "pcm_s16le", "-ac", "1",
             "-ar", str(out_rate), "pipe:1",
         ]
@@ -188,6 +202,9 @@ class SessionManager:
         sess = self.sessions.get(sid)
         if sess is not None:
             sess.pending_final = True
+            # eof/reset means "decode EVERYTHING staged": the flag
+            # survives segment finals until the backlog is consumed.
+            sess.eof_requested = True
 
     def ready(self) -> bool:
         return any(
@@ -211,14 +228,30 @@ class SessionManager:
         for sid, sess in self.sessions.items():
             if sess.closed or sess.slot is None:
                 continue
-            if sess.staged.available() >= self.chunk and not sess.pending_final:
-                chunk = sess.staged.read(self.chunk)
-                if self.wire != "float32":
-                    from speechcatcher_tpu.serve.wire import encode_chunk
+            if sess.eof_requested:
+                sess.pending_final = True
+            if sess.staged.available() < self.chunk:
+                continue
+            if self.engine.slot_would_stall(sess.slot):
+                # Encoder ring at capacity: engine.tick would silently
+                # drop the chunk, so stop consuming and cut a segment
+                # final instead — the staged backlog continues into the
+                # re-armed slot (no audio lost).
+                sess.pending_final = True
+                continue
+            # Backlogs (e.g. a whole file uploaded before {"eof":1})
+            # drain through normal full-chunk ticks even when a final is
+            # pending; finalize below only ever consumes the sub-chunk
+            # remainder. Stuffing a multi-chunk backlog into one finalize
+            # tail would route through the slow single-stream path — or
+            # overflow the decode state entirely for >ring backlogs.
+            chunk = sess.staged.read(self.chunk)
+            if self.wire != "float32":
+                from speechcatcher_tpu.serve.wire import encode_chunk
 
-                    chunk = encode_chunk(chunk, self.wire)
-                batch[sess.slot] = chunk
-                sid_by_slot[sess.slot] = sid
+                chunk = encode_chunk(chunk, self.wire)
+            batch[sess.slot] = chunk
+            sid_by_slot[sess.slot] = sid
 
         if batch:
             self.metrics.tick_begin(active_streams=len(batch))
@@ -243,15 +276,26 @@ class SessionManager:
         pending = [
             (sid, sess)
             for sid, sess in list(self.sessions.items())
-            if sess.pending_final and not sess.closed and sess.slot is not None
+            if sess.pending_final and not sess.closed
+            and sess.slot is not None
+            and (sess.staged.available() < self.chunk
+                 or self.engine.slot_would_stall(sess.slot))
         ]
         if pending:
             # ALL concurrent finals go through ONE batched device pass
             # (engine.finalize_batch): finalization cost per tick is flat in
             # the number of finishing utterances instead of ~10 programs per
             # utterance serialized on the dispatch latency.
-            tails = {sess.slot: sess.staged.drain() for _, sess in pending}
-            sid_of = {sess.slot: sid for sid, sess in pending}
+            tails = {}
+            for _, sess in pending:
+                if (sess.staged.available() >= self.chunk
+                        and self.engine.slot_would_stall(sess.slot)):
+                    # Segment final at ring capacity: keep the backlog
+                    # staged — it continues into the re-armed slot.
+                    tails[sess.slot] = np.zeros(0, np.float32)
+                else:
+                    tails[sess.slot] = sess.staged.drain()
+                    sess.eof_requested = False  # backlog fully consumed
             try:
                 results = self.engine.finalize_batch(tails)
             except Exception:
@@ -259,20 +303,34 @@ class SessionManager:
                                  "fallback")
                 results = None
             if results is not None:
-                for slot, (yseq, xpos, _score) in results.items():
-                    sid = sid_of[slot]
-                    out[sid] = self._assemble_final(
-                        self.sessions[sid], yseq, xpos
-                    )
-                    self.metrics.finalized()
+                for sid, sess in pending:
+                    res = results.get(sess.slot)
+                    if res is not None:
+                        yseq, xpos, _score = res
+                        out[sid] = self._assemble_final(sess, yseq, xpos)
+                        self.metrics.finalized()
+                    else:
+                        # The engine quarantined the slot (its finalize
+                        # raised): emit an empty final and close — the
+                        # cohort's other results are unaffected.
+                        out[sid] = {"result": [], "text": ""}
+                        self.close_session(sid)
             else:
                 # A failing session must not take the batcher (and every
                 # other live session) down with it (SURVEY §5.3: the
                 # isolation requirement) — quarantine and close instead.
+                # Slots the batched pass already finalized+reset must NOT
+                # be re-finalized (that would decode only the tail and
+                # emit a truncated transcript).
                 for sid, sess in pending:
                     try:
-                        out[sid] = self._finalize(sess, tails[sess.slot])
-                        self.metrics.finalized()
+                        if (sess.slot is not None
+                                and self.engine.c.active[sess.slot]):
+                            out[sid] = self._finalize(sess, tails[sess.slot])
+                            self.metrics.finalized()
+                        else:
+                            out[sid] = {"result": [], "text": ""}
+                            self.close_session(sid)
                     except Exception:
                         logger.exception("finalize failed for session %s",
                                          sid)
@@ -354,9 +412,11 @@ async def _batcher(manager: SessionManager, tick_interval: float):
 
 
 async def recognize_ws(connection, manager: SessionManager,
-                       vosk_output_format: bool = True,
                        audio_format: str = "s16le"):
-    sid = manager.open_session()
+    # open/close grab manager._lock, which tick() holds for a whole
+    # device tick on a worker thread — run them off the event loop or
+    # every websocket freezes for up to a tick on connect/disconnect.
+    sid = await asyncio.to_thread(manager.open_session)
     if sid is None:
         await connection.send("Server busy, please try again later.")
         await connection.close()
@@ -396,6 +456,26 @@ async def recognize_ws(connection, manager: SessionManager,
                     sess.sample_rate = int(
                         msg["config"].get("sample_rate", 16000)
                     )
+                    if (sess.sample_rate != manager.cfg.sample_rate
+                            and sess.ffmpeg is None):
+                        from speechcatcher_tpu.utils.audio import have_ffmpeg
+
+                        if have_ffmpeg():
+                            # Stateful resampling pipeline (the
+                            # reference's non-16k path); the scipy
+                            # per-message fallback below clicks at frame
+                            # boundaries (stateless filter edges).
+                            sess.start_ffmpeg(
+                                "s16le", manager.cfg.sample_rate,
+                                in_rate=sess.sample_rate,
+                            )
+                        else:
+                            logger.warning(
+                                "no ffmpeg: resampling %d->%d Hz "
+                                "per-message (filter-edge artifacts at "
+                                "frame boundaries)", sess.sample_rate,
+                                manager.cfg.sample_rate,
+                            )
                     await connection.send(json.dumps({"partial": ""}))
             else:
                 if sess.ffmpeg is not None:
@@ -414,7 +494,7 @@ async def recognize_ws(connection, manager: SessionManager,
         logger.info("Client disconnected")
     finally:
         send_task.cancel()
-        manager.close_session(sid)
+        await asyncio.to_thread(manager.close_session, sid)
 
 
 async def start_server(host: str, port: int, manager: SessionManager,
@@ -464,8 +544,6 @@ def main():
                         help="Total number of hosts (with --coordinator)")
     parser.add_argument("--process-id", type=int, default=None,
                         help="This host's rank (with --coordinator)")
-    parser.add_argument("--vosk-output-format", action="store_true",
-                        default=True)
     parser.add_argument("--finalize-update-iters", type=int, default=6)
     parser.add_argument("--max_partial_iters", type=int, default=42)
     parser.add_argument("--wire", type=str, default="int16",

@@ -252,8 +252,10 @@ class Speech2TextStreaming:
         return self(speech, is_final=True)
 
     def recognize_stream(self, chunks) -> List[Result]:
-        """Multi-chunk recognition (reference :559-579)."""
+        """Multi-chunk recognition (reference :559-579). Accepts any
+        iterable (generators included)."""
         self.reset()
+        chunks = list(chunks)
         results: List[Result] = []
         for i, chunk in enumerate(chunks):
             results = self(chunk, is_final=(i == len(chunks) - 1))

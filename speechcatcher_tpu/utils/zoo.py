@@ -108,7 +108,12 @@ def download_and_unpack(tag: str, cache_dir: Optional[Path] = None,
         if not archive.exists():
             if not quiet:
                 logger.info("Downloading %s", tag)
-            urllib.request.urlretrieve(tag, archive)
+            # Download to a temp name and rename into place: an
+            # interrupted urlretrieve would otherwise leave a partial
+            # archive that the exists() guard treats as complete forever.
+            part = archive.with_suffix(".pack.part")
+            urllib.request.urlretrieve(tag, part)
+            part.replace(archive)
         root = _unpack(archive, dest)
         return _find_model_dir(root) or root
 

@@ -63,3 +63,20 @@ _install_torchaudio_stub()
 
 if REFERENCE_ROOT not in sys.path and os.path.isdir(REFERENCE_ROOT):
     sys.path.append(REFERENCE_ROOT)
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables after each test module.
+
+    The suite compiles hundreds of distinct XLA:CPU programs in one
+    process; past a certain accumulation the XLA CPU compiler has been
+    observed to SEGFAULT on a later compilation (LLVM JIT state — crash
+    in backend_compile_and_load with plenty of free RAM). Bounding the
+    live executable set per module keeps the suite deterministic at the
+    cost of recompiling shared tiny-model programs a few times."""
+    yield
+    jax.clear_caches()

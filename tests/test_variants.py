@@ -143,14 +143,18 @@ def test_linear_input_layer_parity_and_session():
     assert subsampled_len(50, "linear") == 50
     np.testing.assert_allclose(ours, ref_out.numpy(), rtol=1e-4, atol=1e-5)
 
-    # End-to-end: a linear-embed session streams and finalizes.
+    # End-to-end: a linear-embed session streams and finalizes. Short
+    # audio keeps the sub=1 shape set small: at subsample=1 every chunk
+    # carries 4x the frames of conv2d, and each distinct block count
+    # compiles its own program.
     cfg = tiny_config().replace(input_layer="linear")
     assert cfg.subsample == 1
     model = ASRModel.random_init(cfg, seed=5)
     s2t = Speech2TextStreaming(model=model, beam_size=2)
     rng = np.random.RandomState(3)
-    audio = (0.3 * np.sin(2 * np.pi * 300 * np.arange(16000) / 16000)
-             + 0.05 * rng.randn(16000)).astype(np.float32)
-    results = s2t(audio[:8192], is_final=False)
-    results = s2t(audio[8192:], is_final=True)
+    n = 6000
+    audio = (0.3 * np.sin(2 * np.pi * 300 * np.arange(n) / 16000)
+             + 0.05 * rng.randn(n)).astype(np.float32)
+    results = s2t(audio[:4096], is_final=False)
+    results = s2t(audio[4096:], is_final=True)
     assert isinstance(results, list)
