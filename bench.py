@@ -253,6 +253,10 @@ def _build_model(on_accelerator: bool):
     cfg = _flagship_config().replace(
         cache_dtype="bfloat16",
         ctc_ring_dtype=os.environ.get("SC_TPU_RING", "bfloat16"),
+        # bf16 emitted-frame ring: −0.85 MB/stream and halves the raw-frame
+        # reads of the per-step cross-KV rematerialization (the drain
+        # path's dominant HBM traffic). SC_TPU_ENC_RING=float32 restores.
+        enc_ring_dtype=os.environ.get("SC_TPU_ENC_RING", "bfloat16"),
     )
     if not on_accelerator:
         from speechcatcher_tpu.config import tiny_config

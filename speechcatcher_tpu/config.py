@@ -78,6 +78,14 @@ class ModelConfig:
     # and every reduction stay fp32 — consumers upcast at the gather.
     ctc_ring_dtype: str = "float32"
 
+    # Emitted-encoder-frame ring storage dtype ("float32" | "bfloat16").
+    # The serving engine's enc_out ring is BOTH the CTC head's input and
+    # the decoder's cross-attention memory (rematerialized per beam step,
+    # models/decoder.py) — bf16 halves its footprint AND the per-step raw-
+    # frame reads of the rematerialization. The CTC log-softmax upcasts to
+    # fp32 before normalizing; attention projections already run bf16.
+    enc_ring_dtype: str = "float32"
+
     @property
     def cache_jnp_dtype(self):
         import jax.numpy as jnp
@@ -92,6 +100,14 @@ class ModelConfig:
 
         return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
             self.ctc_ring_dtype
+        ]
+
+    @property
+    def enc_ring_jnp_dtype(self):
+        import jax.numpy as jnp
+
+        return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
+            self.enc_ring_dtype
         ]
 
     @property

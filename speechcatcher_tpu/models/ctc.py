@@ -28,7 +28,12 @@ def ctc_logits(params: Params, hs: jnp.ndarray) -> jnp.ndarray:
 
 
 def ctc_log_softmax(params: Params, hs: jnp.ndarray) -> jnp.ndarray:
-    return jax.nn.log_softmax(ctc_logits(params, hs), axis=-1)
+    # fp32 normalization even when frames arrive from a bf16 ring
+    # (config.enc_ring_dtype): a bf16 log-sum-exp over the 1024-way vocab
+    # would cost ~2 decimal digits on every stored log-prob.
+    return jax.nn.log_softmax(
+        ctc_logits(params, hs).astype(jnp.float32), axis=-1
+    )
 
 
 def ctc_argmax(params: Params, hs: jnp.ndarray) -> jnp.ndarray:

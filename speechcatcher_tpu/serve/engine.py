@@ -1048,7 +1048,8 @@ class StreamingEngine:
             post=jnp.zeros((self.S, self.PCAP, d)),
             prev_addin=jnp.zeros((self.S, 1, d)),
             past_ctx=jnp.zeros((self.S, cfg.encoder_layers, d)),
-            enc_out=jnp.zeros((self.S, self.ECAP_PAD, d)),
+            enc_out=jnp.zeros((self.S, self.ECAP_PAD, d),
+                              dtype=cfg.enc_ring_jnp_dtype),
         )
         self.arrays = init_beam_arrays(cfg, self.S, beam_size)
         # Distinct buffers: arrays and prev_arrays are donated by the same

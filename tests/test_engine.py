@@ -187,3 +187,30 @@ def test_engine_int16_ingest_matches_float(model):
         )[s])
     assert list(map(int, outs[0][0])) == list(map(int, outs[1][0]))
     assert list(map(int, outs[0][1])) == list(map(int, outs[1][1]))
+
+
+def test_engine_bf16_enc_ring_token_parity(model):
+    """enc_ring_dtype='bfloat16' stores the emitted-frame ring (the CTC
+    head's input AND the rematerialized cross-attention memory) in bf16;
+    on this fixture the decoded tokens must not move vs the fp32 ring."""
+    import dataclasses
+
+    n_chunks = 3
+    audio = synth_audio(n_chunks * CHUNK / 16000 + 0.01, seed=21)
+    model16 = dataclasses.replace(
+        model, cfg=dataclasses.replace(model.cfg, enc_ring_dtype="bfloat16")
+    )
+
+    outs = []
+    for m in (model, model16):
+        engine = StreamingEngine(m, n_slots=2, beam_size=3,
+                                 chunk_samples=CHUNK)
+        s = engine.acquire_slot()
+        for i in range(n_chunks - 1):
+            engine.tick({s: audio[i * CHUNK : (i + 1) * CHUNK]})
+        outs.append(engine.finalize_batch(
+            {s: audio[(n_chunks - 1) * CHUNK :]}
+        )[s])
+    assert outs[1][0].dtype == outs[0][0].dtype
+    assert list(map(int, outs[0][0])) == list(map(int, outs[1][0]))
+    assert list(map(int, outs[0][1])) == list(map(int, outs[1][1]))
