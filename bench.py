@@ -438,20 +438,24 @@ def main():
         # must bank a passing result early, then climb while the budget
         # lasts. Only if the anchor rung fails do the descending fallbacks
         # run.
-        # Round-3 part 2 moved both binding constraints: mu-law wire
+        # Round-3 moved the binding constraints twice: (1) mu-law wire
         # halves the dominant per-tick H2D vs int16 (WIRE above) and the
         # cross-KV rematerialization cut per-stream HBM 24.8 -> 14.7 MB
-        # (S=320 OOM'd before; ~490 streams now fit the observed ~7.5 GB
-        # budget), so the ladder climbs past the old memory wall.
-        # 512 × 14.7 MB/stream ≈ 7.5 GB — right at the observed budget;
-        # the climb stops at the first failing rung and the time budget
-        # gates every attempt, so the extra rung risks nothing banked.
-        climb = [256, 320, 384, 448, 512]
+        # (448 measured at RTF 0.64; 512 then FIT but missed real time at
+        # mean 561 ms — compute-bound, not memory-bound). (2) The decoder
+        # activation cache (models/decoder.py::DecoderCache — cache hn,
+        # commute the K/V projections) halves the remaining dominant
+        # buffer AND the per-beam-step cache reads/scatters: 8.6 MB/stream
+        # now, so memory clears ~870 streams. Measured after the change:
+        # S=512 mean 310 ms (RTF 0.60, was 561 pre-cache) — anchor there
+        # and climb in bold steps (each rung pays cold compiles, so fewer
+        # larger rungs cover more ground inside the time budget).
+        climb = [512, 640, 768]
         # Fallback re-tries the anchor first: a transient relay stall can
         # kill the anchor rung's subprocess (RUNG_TIMEOUT_S) even though
         # the rung itself is known-good — give it a second chance on a
         # recovered relay before descending.
-        fallback = [256, 208, 176]
+        fallback = [512, 448, 256]
         churn_period = CHURN_PERIOD
 
     # Accelerator path: the parent NEVER touches the device (no model

@@ -432,9 +432,7 @@ def decode_block_device(
     state = state._replace(
         arrays=_slice_arrays(full_arrays, l_bound, t_bound),
         prev_arrays=_slice_arrays(full_prev, l_bound, t_bound),
-        dec_cache=DecoderCache(
-            k=full_cache.k[:, :, :l_bound], v=full_cache.v[:, :, :l_bound]
-        ),
+        dec_cache=DecoderCache(h=full_cache.h[:, :, :l_bound]),
     )
     stepping0 = state.stepping
 
@@ -516,8 +514,7 @@ def decode_block_device(
         arrays=_merge_arrays(full_arrays, arrays, l_bound, t_bound),
         prev_arrays=_merge_arrays(full_prev, st.prev_arrays, l_bound, t_bound),
         dec_cache=DecoderCache(
-            k=full_cache.k.at[:, :, :l_bound].set(st.dec_cache.k),
-            v=full_cache.v.at[:, :, :l_bound].set(st.dec_cache.v),
+            h=full_cache.h.at[:, :, :l_bound].set(st.dec_cache.h),
         ),
         prev_valid=jnp.where(rewind, False, st.prev_valid),
         process_idx=jnp.where(rewind, st.process_idx - 1, st.process_idx),

@@ -5,12 +5,15 @@ and decoder_layer.py with a TPU-native incremental design:
 
 The reference caches each layer's *output prefix* and recomputes K/V
 projections over the whole prefix every step (decoder_layer.py:85-95). Here
-the K/V projections themselves are cached in fixed-capacity (Lmax) buffers —
-numerically identical (prefix layer inputs never change between steps, so
-their K/V are constants) but O(1) projection work per step and static shapes.
-The cache is LAZILY REORDERED: beam pruning permutes a small per-position
-lane map instead of the buffers, so rows are append-only — no per-step cache
-gather, and rollback/rewind need no cache snapshot at all.
+each layer's post-norm1 ACTIVATIONS are cached in ONE fixed-capacity (Lmax)
+buffer — numerically identical (prefix layer inputs never change between
+steps), static shapes, and half the bytes of a K+V cache: the K/V
+projections commute to the query/output side of the attention
+(_attend_cached_lane), so the per-step projection cost is independent of
+the prefix length. The cache is LAZILY REORDERED: beam pruning permutes a
+small per-position lane map instead of the buffers, so rows are
+append-only — no per-step cache gather, and rollback/rewind need no cache
+snapshot at all.
 
 Cross-attention K/V over the growing encoder buffer are NOT cached: each
 beam step rematerializes them from the raw encoder frames (shared by all
@@ -133,16 +136,25 @@ def decoder_forward_train(
 # ---------------------------------------------------------------------------
 
 class DecoderCache(NamedTuple):
-    """Per-hypothesis self-attention KV cache (fixed capacity Lmax)."""
+    """Per-hypothesis self-attention activation cache (capacity Lmax).
 
-    k: jnp.ndarray  # (L, N, Lmax, d)
-    v: jnp.ndarray  # (L, N, Lmax, d)
+    Stores each layer's post-norm1 hidden state hn(t) — ONE
+    (L, N, Lmax, d) ring instead of separate K and V rings. K and V are
+    linear maps of hn, so the attention commutes around the cache:
+    scores  q·(W_k h) = (W_kᵀ q)·h   and   values  Σ_t w_t (W_v h_t)
+    = W_v (Σ_t w_t h_t) — the projections move to the (N, d)-sized query/
+    output side, whose cost is independent of the prefix length. Halves
+    the dominant per-stream HBM buffer AND each step's cache reads and
+    append scatters; the K bias cancels in the softmax and the V bias
+    folds to a single +b_v (softmax weights sum to 1). See
+    _attend_cached_lane."""
+
+    h: jnp.ndarray  # (L, N, Lmax, d)
 
 
 def init_decoder_cache(cfg: ModelConfig, n_hyps: int) -> DecoderCache:
     shape = (cfg.decoder_layers, n_hyps, cfg.max_tokens, cfg.decoder_dim)
-    dt = cfg.cache_jnp_dtype
-    return DecoderCache(k=jnp.zeros(shape, dt), v=jnp.zeros(shape, dt))
+    return DecoderCache(h=jnp.zeros(shape, cfg.cache_jnp_dtype))
 
 
 # NOTE on cross-attention memory: there is deliberately NO cross-KV cache.
@@ -157,43 +169,63 @@ def init_decoder_cache(cfg: ModelConfig, n_hyps: int) -> DecoderCache:
 # serving tick.
 
 
+def _dense_weight(p: Params) -> jnp.ndarray:
+    """Torch-layout (out, in) weight as a dense float array (dequantizing
+    the opt-in int8 storage — a (d, d) dequant is step noise)."""
+    w = p["weight"]
+    if w.dtype == jnp.int8:
+        return w.astype(jnp.float32) * p["weight_scale"][:, None]
+    return w
+
+
 def _attend_cached_lane(
-    q: jnp.ndarray,        # (N, d) single query per hyp, laid out (S, B)
-    k: jnp.ndarray,        # (N, T, d) append-only lane-resident rows
-    v: jnp.ndarray,        # (N, T, d)
-    k_self: jnp.ndarray,   # (N, d) this step's key (query token's row)
-    v_self: jnp.ndarray,   # (N, d)
+    q: jnp.ndarray,         # (N, d) single query per hyp, laid out (S, B)
+    hh: jnp.ndarray,        # (N, T, d) append-only lane-resident hn rows
+    hn_self: jnp.ndarray,   # (N, d) this step's post-norm1 hidden
+    p_attn: Params,         # this layer's self_attn params
     lane_onehot: jnp.ndarray,  # (S, B, B, T) one-hot of the lane map
     hist_valid: jnp.ndarray,   # (N, T) bool — t < pos (history positions)
     beam: int,
     n_head: int,
 ) -> jnp.ndarray:
-    """Self-attention over a lazily-reordered KV cache.
+    """Self-attention over a lazily-reordered ACTIVATION cache.
 
     Cache rows are never permuted after beam pruning; instead the lane map
     records which physical lane (0..B-1, within the stream's B-row group)
-    holds position t's row of each hypothesis's lineage. Rather than
-    materializing lane-gathered copies of K and V (a profile showed the
-    two row gathers plus their layout/convert copies cost ~5 ms per layer
-    per beam step at S=176 — the dominant decode cost), attention runs
+    holds position t's row of each hypothesis's lineage. Attention runs
     ALL-PAIRS against the B resident lanes and contracts with the one-hot
-    lane map: an extra S·B²·T·d matmul (~0.6 GFLOP, MXU noise) in exchange
-    for reading each cache slice exactly once, contiguously. Exactness:
-    the one-hot contraction selects the same rows the gather would (terms
-    with weight 0 are exactly 0).
+    lane map (reading each cache slice exactly once, contiguously; terms
+    with weight 0 are exactly 0 — see onehot_contract).
 
-    The current token's K/V never round-trips through the cache — it joins
-    the score matrix directly, so masked (non-stepping) streams read no
-    just-written rows."""
-    n, t, d = k.shape
+    The cache stores hn(t), not K/V: the projections commute to the
+    query/output side —
+      score_h(q, t) = q_h · (W_k hn_t)_h = (W_k[h]ᵀ q_h) · hn_t
+      out_h         = Σ_t w_t (W_v hn_t + b_v)_h
+                    = W_v[h] (Σ_t w_t hn_t) + b_v[h]      (Σ w = 1)
+    so per-step projection cost is two (N, d)×(d, d) contractions
+    (independent of the prefix length T), cache bytes/reads/writes halve,
+    and the K bias drops out of the softmax entirely (a per-row constant
+    added to every score). The current token's row never round-trips
+    through the cache — it joins the score matrix directly, so masked
+    (non-stepping) streams read no just-written rows."""
+    n, t, d = hh.shape
     s = n // beam
     dk = d // n_head
-    qh = q.reshape(s, beam, n_head, dk).astype(k.dtype)
-    kh = k.reshape(s, beam, t, n_head, dk)
-    vh = v.reshape(s, beam, t, n_head, dk)
-    # scores_all[s,b,c,h,t] = q of hyp b · K row of lane c at position t.
+    # bf16 inputs take the fast MXU path on TPU; CPU's DotThunk rejects
+    # BF16×BF16=F32 dots, so non-TPU backends contract in f32 (see the
+    # same split in ops/layers.py::onehot_contract).
+    dot_dt = hh.dtype if jax.default_backend() == "tpu" else jnp.float32
+    wk = _dense_weight(p_attn["linear_k"]).reshape(n_head, dk, d)
+    wv = _dense_weight(p_attn["linear_v"]).reshape(n_head, dk, d)
+    qh = q.reshape(n, n_head, dk)
+    # q' = W_k[h]ᵀ q_h — the K projection folded into the query.
+    qk = jnp.einsum("nhk,hkd->nhd", qh.astype(dot_dt), wk.astype(dot_dt),
+                    preferred_element_type=jnp.float32)
+    qk = qk.reshape(s, beam, n_head, d).astype(dot_dt)
+    hhl = hh.reshape(s, beam, t, d).astype(dot_dt)
+    # scores_all[s,b,c,h,t] = q' of hyp b · hn row of lane c at position t.
     scores_all = jnp.einsum(
-        "sbhd,scthd->sbcht", qh, kh, preferred_element_type=jnp.float32
+        "sbhd,sctd->sbcht", qk, hhl, preferred_element_type=jnp.float32
     ) / math.sqrt(dk)
     oh = lane_onehot.astype(jnp.float32)
     # onehot_contract keeps the lane selection of the f32 scores exact
@@ -202,22 +234,27 @@ def _attend_cached_lane(
     scores = scores.reshape(n, n_head, t)
     scores = jnp.where(hist_valid[:, None, :], scores, MASK_MIN)
     self_score = jnp.einsum(
-        "nhd,nhd->nh", q.reshape(n, n_head, dk).astype(k.dtype),
-        k_self.reshape(n, n_head, dk).astype(k.dtype),
-        preferred_element_type=jnp.float32,
+        "nhd,nd->nh", qk.reshape(n, n_head, d),
+        hn_self.astype(dot_dt), preferred_element_type=jnp.float32,
     ) / math.sqrt(dk)
     scores = jnp.concatenate([scores, self_score[:, :, None]], axis=2)
     attn = jax.nn.softmax(scores, axis=-1)
     hist_attn = jnp.where(hist_valid[:, None, :], attn[:, :, :t], 0.0)
-    # out[b] = Σ_t w[b,t]·V[lane[b,t],t] = Σ_c Σ_t (w[b,t]·oh[b,c,t])·V[c,t]
+    # u[b] = Σ_t w[b,t]·hn[lane[b,t],t] = Σ_c Σ_t (w[b,t]·oh[b,c,t])·hn[c,t]
     w_lane = hist_attn.reshape(s, beam, n_head, t)[:, :, None] * (
         oh[:, :, :, None, :]
     )                                                  # (S, B, C, H, T)
-    out = jnp.einsum("sbcht,scthd->sbhd", w_lane.astype(v.dtype), vh,
+    u = jnp.einsum("sbcht,sctd->sbhd", w_lane.astype(dot_dt), hhl,
+                   preferred_element_type=jnp.float32)
+    u = u.reshape(n, n_head, d)
+    u = u + attn[:, :, t][:, :, None] * hn_self.astype(jnp.float32)[:, None]
+    # Deferred V projection on the weighted sum; softmax weights sum to 1,
+    # so the V bias contributes exactly b_v once.
+    out = jnp.einsum("nhd,hkd->nhk", u.astype(dot_dt), wv.astype(dot_dt),
                      preferred_element_type=jnp.float32)
-    out = out.reshape(n, n_head, dk)
-    v_self_h = v_self.reshape(n, n_head, dk).astype(jnp.float32)
-    out = out + attn[:, :, t][:, :, None] * v_self_h
+    bias = p_attn["linear_v"].get("bias")
+    if bias is not None:
+        out = out + bias.astype(jnp.float32).reshape(n_head, dk)
     return out.reshape(n, d)
 
 
@@ -290,9 +327,9 @@ def decoder_step(
     value contraction)."""
     n = tokens.shape[0]
     d = cfg.decoder_dim
-    lmax = cache.k.shape[2]   # capacity comes from the (possibly sliced) cache
+    lmax = cache.h.shape[2]   # capacity comes from the (possibly sliced) cache
     tmax = memory.shape[1]
-    cache_dt = cache.k.dtype
+    cache_dt = cache.h.dtype
 
     x = params["embed"]["weight"][tokens] * math.sqrt(d) + pe[pos]  # (N, d)
 
@@ -310,24 +347,21 @@ def decoder_step(
 
     def body(carry, layer_in):
         h = carry  # (N, d)
-        p_layer, k_l, v_l = layer_in
+        p_layer, h_l = layer_in
         # Rematerialize this layer's memory K/V from the raw frames —
         # identical math (and cast) to the retired cached-extend path.
         mk_l = linear(p_layer["src_attn"]["linear_k"], memory)
         mv_l = linear(p_layer["src_attn"]["linear_v"], memory)
         mk_l = jnp.where(jnp.isfinite(mk_l), mk_l, 0.0).astype(cache_dt)
         mv_l = jnp.where(jnp.isfinite(mv_l), mv_l, 0.0).astype(cache_dt)
-        # Self-attention with lane-mapped KV cache.
+        # Self-attention with the lane-mapped activation cache.
         residual = h
         hn = layer_norm(p_layer["norm1"], h)
-        k_new = linear(p_layer["self_attn"]["linear_k"], hn)
-        v_new = linear(p_layer["self_attn"]["linear_v"], hn)
-        k_l = k_l.at[rows, pos_w].set(k_new.astype(k_l.dtype), mode="drop")
-        v_l = v_l.at[rows, pos_w].set(v_new.astype(v_l.dtype), mode="drop")
+        h_l = h_l.at[rows, pos_w].set(hn.astype(h_l.dtype), mode="drop")
         q = linear(p_layer["self_attn"]["linear_q"], hn)
         att = _attend_cached_lane(
-            q, k_l, v_l, k_new, v_new, lane_onehot, hist_valid, beam,
-            cfg.decoder_heads,
+            q, h_l, hn, p_layer["self_attn"], lane_onehot, hist_valid,
+            beam, cfg.decoder_heads,
         )
         h = residual + linear(p_layer["self_attn"]["linear_out"], att)
         # Cross-attention over per-stream cached memory K/V.
@@ -341,15 +375,13 @@ def decoder_step(
         residual = h
         hn = layer_norm(p_layer["norm3"], h)
         h = residual + feed_forward(p_layer["feed_forward"], hn)
-        return h, (k_l, v_l)
+        return h, h_l
 
-    (h, (new_k, new_v)) = jax.lax.scan(
-        body, x, (params["layers"], cache.k, cache.v)
-    )
+    h, new_h = jax.lax.scan(body, x, (params["layers"], cache.h))
     if cfg.normalize_before:
         h = layer_norm(params["after_norm"], h)
     logits = linear(params["output_layer"], h)
     logp = jax.nn.log_softmax(logits, axis=-1)
-    return logp, DecoderCache(k=new_k, v=new_v)
+    return logp, DecoderCache(h=new_h)
 
 

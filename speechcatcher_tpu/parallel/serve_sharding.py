@@ -80,11 +80,10 @@ def shard_engine(engine: StreamingEngine, mesh: Mesh) -> StreamingEngine:
     )
     engine.arrays = _shard_arrays(engine.arrays, mesh)
     engine.prev_arrays = _shard_arrays(engine.prev_arrays, mesh)
-    # The KV cache is (L, S·B, Lmax, d): shard the flat hypothesis axis
-    # (slot-major, so B-row groups stay on their slot's shard).
+    # The activation cache is (L, S·B, Lmax, d): shard the flat hypothesis
+    # axis (slot-major, so B-row groups stay on their slot's shard).
     engine.dec_cache = DecoderCache(
-        k=_put(engine.dec_cache.k, mesh, P(None, "dp")),
-        v=_put(engine.dec_cache.v, mesh, P(None, "dp")),
+        h=_put(engine.dec_cache.h, mesh, P(None, "dp")),
     )
     # (cross-attention memory K/V: no stored state — rematerialized from
     # the dp-sharded enc_out ring inside the decode programs)

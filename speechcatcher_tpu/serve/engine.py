@@ -417,6 +417,11 @@ def _final_frontend(
     combined = jnp.concatenate(
         [combined, jnp.zeros((s, pad), combined.dtype)], axis=1
     )                                                    # (S, n+pad)
+    # Slice start total_p-1-pad is nonnegative for every reachable input:
+    # total_p = max(wave_len + alen, win_length) ≥ win_length > pad
+    # (win_length > n_fft//2 is asserted at engine init), so the clamp
+    # below never engages and the written tail is exactly the reversed
+    # pre-end reflection x[tp-2], x[tp-3], …
     tail = jax.vmap(
         lambda c, st: jax.lax.dynamic_slice_in_dim(c, st, pad, 0)
     )(combined, jnp.maximum(total_p - 1 - pad, 0))       # (S, pad)
@@ -905,7 +910,7 @@ def _rows_cache(c: DecoderCache, rows: jnp.ndarray, beam: int) -> DecoderCache:
         g = x.reshape(l, s_b // beam, beam, lmax, d)[:, rows]
         return g.reshape(l, rows.shape[0] * beam, lmax, d)
 
-    return DecoderCache(k=sb(c.k), v=sb(c.v))
+    return DecoderCache(h=sb(c.h))
 
 
 @functools.partial(jax.jit, static_argnames=("beam",))
@@ -1015,6 +1020,16 @@ class StreamingEngine:
                               cfg.max_tokens - 1)
 
         # Capacities.
+        # _final_frontend's slice-based right reflection needs the
+        # reflection start total_p-1-pad ≥ 0, i.e. win_length > n_fft//2
+        # (total_p is floored at win_length). Every librosa-style frontend
+        # satisfies this (win_length defaults to n_fft); fail loudly for
+        # exotic configs rather than silently mis-reflecting short finals.
+        assert cfg.win_length > cfg.n_fft // 2, (
+            "win_length must exceed n_fft//2 for the final-frontend "
+            f"reflection (got win_length={cfg.win_length}, "
+            f"n_fft={cfg.n_fft})"
+        )
         self.WCAP = cfg.win_length  # carry ≤ win_length always
         ccap = self.WCAP + self.A
         self.FCAP = 1 + ccap // cfg.hop_length
@@ -1121,7 +1136,7 @@ class StreamingEngine:
             "frontend_buffers": tree_bytes(self.buffers),
             "beam_arrays": tree_bytes(self.arrays),
             "rewind_snapshot": tree_bytes(self.prev_arrays),
-            "decoder_kv_cache": tree_bytes(self.dec_cache),
+            "decoder_cache": tree_bytes(self.dec_cache),
             # cross-attention K/V: rematerialized from enc_out per step —
             # no stored state (see models/decoder.py::decoder_step)
         }
@@ -1586,8 +1601,7 @@ class StreamingEngine:
             ),
         )
         st.dec_cache = DecoderCache(
-            k=self.dec_cache.k[:, s * b : (s + 1) * b],
-            v=self.dec_cache.v[:, s * b : (s + 1) * b],
+            h=self.dec_cache.h[:, s * b : (s + 1) * b],
         )
         if bool(self.prev_valid_dev[s]):
             p = self.prev_arrays
