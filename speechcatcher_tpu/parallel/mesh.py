@@ -28,6 +28,15 @@ def make_mesh(n_devices: Optional[int] = None, tp: int = 1,
         devices = jax.devices()
     if n_devices is None:
         n_devices = len(devices)
+    if len(devices) < n_devices:
+        platform = getattr(devices[0], "platform", "?") if devices else "none"
+        raise ValueError(
+            f"make_mesh: requested {n_devices} devices, only {len(devices)} "
+            f"available on platform {platform!r}. For a virtual CPU mesh "
+            f"set XLA_FLAGS=--xla_force_host_platform_device_count="
+            f"{n_devices} and JAX_PLATFORMS=cpu before any JAX backend "
+            f"initializes."
+        )
     devices = np.asarray(devices[:n_devices])
     assert n_devices % tp == 0, (n_devices, tp)
     return Mesh(devices.reshape(n_devices // tp, tp), ("dp", "tp"))
