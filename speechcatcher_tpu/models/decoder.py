@@ -157,16 +157,19 @@ def init_decoder_cache(cfg: ModelConfig, n_hyps: int) -> DecoderCache:
     return DecoderCache(h=jnp.zeros(shape, cfg.cache_jnp_dtype))
 
 
-# NOTE on cross-attention memory: there is deliberately NO cross-KV cache.
-# decoder_step REMATERIALIZES each layer's memory K/V from the raw encoder
-# frames on every beam step (see the docstring there). Caching them — the
+# NOTE on cross-attention memory: there is deliberately NO cross-KV cache
+# and no per-step K/V rematerialization either. decoder_step attends
+# DIRECTLY on the raw encoder frames with the projections commuted to the
+# query/output side (_attend_cross_commuted). Caching K/V — the
 # reference's design (/root/reference/speechcatcher/model/decoder/
 # transformer_decoder.py forward_one_step precomputes memory projections) —
 # costs L×2 capacity-shaped (S, Tmax, d) buffers per stream (9.4 MB/stream
 # at the flagship serving shape, 38% of the per-stream HBM budget) AND
-# 6× the per-step HBM reads of the raw frames; on TPU the recompute is two
-# (S·T, d)×(d, d) MXU matmuls per layer that hide under the link-bound
-# serving tick.
+# 6× the per-step HBM reads of the raw frames; rematerializing K/V per
+# step (this repo's round-3 design) paid 2·T·d² MACs per layer per beam
+# step, the dominant FLOPs of the finalization drain. The commute keeps
+# the memory reads at two per layer and makes the projection cost
+# T-independent.
 
 
 def _dense_weight(p: Params) -> jnp.ndarray:
@@ -258,6 +261,62 @@ def _attend_cached_lane(
     return out.reshape(n, d)
 
 
+def _attend_cross_commuted(
+    q: jnp.ndarray,      # (N, d) queries, hyps laid out as (S, B) blocks
+    mem: jnp.ndarray,    # (S, T, d) raw encoder frames (sanitized)
+    p_attn: Params,      # this layer's src_attn params
+    valid: jnp.ndarray,  # (S, T) bool
+    n_head: int,
+) -> jnp.ndarray:
+    """Cross-attention DIRECTLY on the raw encoder frames: the K/V
+    projections commute around the memory exactly like the self-attention
+    activation cache (_attend_cached_lane) —
+      score_h(q, t) = q_h · (W_k m_t + b_k)_h
+                    = (W_k[h]ᵀ q_h) · m_t  + const(t)   (b_k cancels in
+                                                         the softmax)
+      out_h         = Σ_t w_t (W_v m_t + b_v)_h
+                    = W_v[h] (Σ_t w_t m_t) + b_v[h]     (Σ_t w_t = 1)
+    so the per-step memory projections (2 T×d² MACs per layer — the
+    dominant FLOPs of the finalization drain, whose final block bursts to
+    tens of beam steps over the full ring) collapse to two d×d query/
+    output folds, T-independent. The frames are read exactly twice per
+    layer (score + weighted-sum contractions) instead of projected,
+    written, and re-read. ~d/(B·H) ≈ 13× fewer FLOPs per step at the
+    serving shape; identical math modulo float reassociation (the same
+    trade _attend_cached_lane already makes vs the reference's cached
+    K/V — reference transformer_decoder.py precomputes memory K/V
+    per-utterance, which costs L×2 capacity-shaped rings per stream)."""
+    s, t, d = mem.shape
+    n = q.shape[0]
+    b = n // s
+    dk = d // n_head
+    # bf16 contractions take the fast MXU path on TPU; CPU's DotThunk
+    # rejects BF16×BF16=F32 dots, so non-TPU backends contract in f32.
+    dot_dt = mem.dtype if jax.default_backend() == "tpu" else jnp.float32
+    wk = _dense_weight(p_attn["linear_k"]).reshape(n_head, dk, d)
+    wv = _dense_weight(p_attn["linear_v"]).reshape(n_head, dk, d)
+    qh = q.reshape(s, b, n_head, dk)
+    # q' = W_k[h]ᵀ q_h — the K projection folded into the query (d² MACs).
+    qk = jnp.einsum("sbhk,hkd->sbhd", qh.astype(dot_dt), wk.astype(dot_dt),
+                    preferred_element_type=jnp.float32).astype(dot_dt)
+    memd = mem.astype(dot_dt)
+    scores = jnp.einsum("sbhd,std->sbht", qk, memd,
+                        preferred_element_type=jnp.float32) / math.sqrt(dk)
+    scores = jnp.where(valid[:, None, None, :], scores, MASK_MIN)
+    attn = jax.nn.softmax(scores, axis=-1)
+    attn = jnp.where(valid[:, None, None, :], attn, 0.0)
+    # u_h = Σ_t w_t m_t, then ONE deferred V projection on the weighted
+    # sum; the softmax weights sum to 1 so b_v contributes exactly once.
+    u = jnp.einsum("sbht,std->sbhd", attn.astype(dot_dt), memd,
+                   preferred_element_type=jnp.float32)
+    out = jnp.einsum("sbhd,hkd->sbhk", u.astype(dot_dt), wv.astype(dot_dt),
+                     preferred_element_type=jnp.float32)
+    bias = p_attn["linear_v"].get("bias")
+    if bias is not None:
+        out = out + bias.astype(jnp.float32).reshape(n_head, dk)
+    return out.reshape(n, d)
+
+
 # NB: no buffer donation — beam-search rewind/rollback keeps references to
 # previous cache snapshots (free under JAX immutability).
 def _attend_cross_blocked(
@@ -267,8 +326,12 @@ def _attend_cross_blocked(
     valid: jnp.ndarray,  # (S, T) bool
     n_head: int,
 ) -> jnp.ndarray:
-    """Cross-attention without duplicating K/V per hypothesis: all B beam
-    hypotheses of a stream share its memory cache."""
+    """Cross-attention over explicitly projected K/V (the textbook
+    formulation). No longer on the hot path — decoder_step uses
+    _attend_cross_commuted — but kept as the independent baseline the
+    commute is verified against (tests/test_decoder.py) and as the
+    shape-reference for anyone re-deriving the algebra. All B beam
+    hypotheses of a stream share its memory K/V."""
     s, t, d = mk.shape
     n = q.shape[0]
     b = n // s
@@ -316,15 +379,15 @@ def decoder_step(
     (their cached layer inputs were computed under an older encoder
     context, exactly like the reference's cached layer outputs).
 
-    Cross-attention memory K/V are REMATERIALIZED per layer from `memory`
-    (the raw encoder-output ring the caller already keeps): two
-    (S·T, d)×(d, d) MXU matmuls per layer per step instead of storing
-    L×2 capacity-shaped bf16 buffers per stream AND re-reading them from
-    HBM each step. Values are identical to the cached design: the same
-    linear() on the same frames, cast to the same cache dtype (including
-    the finite-sanitization the cached append applied — stale/NaN rows
-    past enc_len must stay finite or 0·NaN would leak through the masked
-    value contraction)."""
+    Cross-attention attends DIRECTLY on the raw `memory` frames (the
+    encoder-output ring the caller already keeps): the K/V projections
+    commute to the query/output side (_attend_cross_commuted), so each
+    layer reads the frames twice and pays only two d×d folds per step —
+    no per-stream cross-KV rings (the reference's design) and no
+    per-step T×d² rematerialization (this repo's previous design). The
+    frames are finite-sanitized ONCE per step before the layer scan
+    (stale/NaN rows past enc_len must stay finite or 0·NaN would leak
+    through the masked value contraction)."""
     n = tokens.shape[0]
     d = cfg.decoder_dim
     lmax = cache.h.shape[2]   # capacity comes from the (possibly sliced) cache
@@ -344,16 +407,13 @@ def decoder_step(
     # are dropped (mode="drop").
     pos_w = jnp.where(write, pos, lmax)
     rows = jnp.arange(n)
+    # Finite-sanitize the shared memory once (layer-invariant); the cast
+    # mirrors the retired per-layer K/V cast so bf16 rings read bf16.
+    mem_s = jnp.where(jnp.isfinite(memory), memory, 0.0).astype(cache_dt)
 
     def body(carry, layer_in):
         h = carry  # (N, d)
         p_layer, h_l = layer_in
-        # Rematerialize this layer's memory K/V from the raw frames —
-        # identical math (and cast) to the retired cached-extend path.
-        mk_l = linear(p_layer["src_attn"]["linear_k"], memory)
-        mv_l = linear(p_layer["src_attn"]["linear_v"], memory)
-        mk_l = jnp.where(jnp.isfinite(mk_l), mk_l, 0.0).astype(cache_dt)
-        mv_l = jnp.where(jnp.isfinite(mv_l), mv_l, 0.0).astype(cache_dt)
         # Self-attention with the lane-mapped activation cache.
         residual = h
         hn = layer_norm(p_layer["norm1"], h)
@@ -364,12 +424,12 @@ def decoder_step(
             beam, cfg.decoder_heads,
         )
         h = residual + linear(p_layer["self_attn"]["linear_out"], att)
-        # Cross-attention over per-stream cached memory K/V.
+        # Cross-attention directly on the shared raw frames (commuted K/V).
         residual = h
         hn = layer_norm(p_layer["norm2"], h)
         q = linear(p_layer["src_attn"]["linear_q"], hn)
-        att = _attend_cross_blocked(q, mk_l, mv_l, mem_valid,
-                                    cfg.decoder_heads)
+        att = _attend_cross_commuted(q, mem_s, p_layer["src_attn"],
+                                     mem_valid, cfg.decoder_heads)
         h = residual + linear(p_layer["src_attn"]["linear_out"], att)
         # FFN.
         residual = h

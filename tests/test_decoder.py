@@ -138,6 +138,73 @@ def test_incremental_step_parity_with_reorder(setup):
         lane = lane.at[:, :, step].set(jnp.asarray(src, jnp.int32))
 
 
+def test_cross_commuted_equals_blocked():
+    """The commuted cross-attention (fold W_k into the query, defer W_v
+    onto the weighted sum — decoder_step's hot path) must match the
+    textbook formulation (project K/V explicitly) on the same inputs."""
+    from speechcatcher_tpu.models.decoder import (
+        _attend_cross_blocked,
+        _attend_cross_commuted,
+    )
+    from speechcatcher_tpu.ops.layers import init_mha, linear
+
+    import jax
+
+    rng = np.random.RandomState(3)
+    s, b, t, d, h = 2, 3, 11, 32, 4
+    p_attn = init_mha(jax.random.PRNGKey(0), d)
+    q = jnp.asarray(rng.randn(s * b, d).astype(np.float32))
+    mem = jnp.asarray(rng.randn(s, t, d).astype(np.float32))
+    valid = jnp.asarray(np.arange(t)[None, :] < np.array([[11], [7]]))
+
+    mk = linear(p_attn["linear_k"], mem)
+    mv = linear(p_attn["linear_v"], mem)
+    ref = _attend_cross_blocked(q, mk, mv, valid, h)
+    got = _attend_cross_commuted(q, mem, p_attn, valid, h)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_bf16_cache_dtype_drift(setup):
+    """Serving runs cache_dtype=bfloat16 (the activation cache, the
+    sanitized memory cast, and the commuted-attention contractions all
+    round through bf16) while the parity tier covers float32 only — bound
+    the bf16 drift on the same inputs (ADVICE r03): log-probs stay close
+    and the greedy token never flips over several reordered steps."""
+    _, params = setup
+    rng = np.random.RandomState(4)
+    n, tm = 3, 10
+    cfg16 = CFG.replace(cache_dtype="bfloat16")
+    memory_np = rand_feats(rng, 1, tm, CFG.encoder_dim)
+    pe = decoder_pe_table(CFG)
+    ring = jnp.zeros((1, CFG.max_enc_frames, CFG.encoder_dim))
+    ring = ring.at[:, :tm].set(jnp.asarray(memory_np))
+    enc_len = jnp.full((1,), tm, jnp.int32)
+
+    caches = {c: init_decoder_cache(c, n) for c in (CFG, cfg16)}
+    lane = jnp.zeros((1, n, CFG.max_tokens), jnp.int32)
+    yseqs = np.full((n, 1), CFG.sos_id, dtype=np.int64)
+    for step in range(4):
+        logps = {}
+        for c in (CFG, cfg16):
+            logps[c], caches[c] = decoder_step(
+                params["decoder"], pe, caches[c], ring,
+                jnp.asarray(yseqs[:, -1].astype(np.int32)),
+                jnp.full((n,), yseqs.shape[1] - 1, jnp.int32),
+                enc_len, lane, jnp.ones((n,), bool), c, n,
+            )
+        a, b16 = np.asarray(logps[CFG]), np.asarray(logps[cfg16])
+        assert np.max(np.abs(a - b16)) < 0.08, np.max(np.abs(a - b16))
+        np.testing.assert_array_equal(a.argmax(-1), b16.argmax(-1))
+        src = rng.randint(0, n, size=n)
+        toks = rng.randint(2, CFG.vocab_size - 1, size=n)
+        yseqs = np.concatenate(
+            [yseqs[src], toks[:, None].astype(np.int64)], axis=1
+        )
+        lane = lane[:, jnp.asarray(src)]
+        lane = lane.at[:, :, step].set(jnp.asarray(src, jnp.int32))
+
+
 def test_memory_padding_invariance(setup):
     """Rematerialized cross K/V must be enc_len-masked: a step over a
     capacity-padded ring whose tail holds garbage (incl. non-finite
