@@ -121,15 +121,17 @@ def analytic_flops_per_tick_per_stream(model, beam: int) -> float:
     ctc = 2.0 * p_ctc * frames_sub
     steps = 2.0 * blocks
     dec = 2.0 * p_dec * beam * steps
-    # Cross-attention K/V rematerialization (models/decoder.py): every
-    # beam step projects the visible encoder frames through L×2 (d, d)
-    # linears. Mean visible length under the churn schedule ≈ half the
-    # churn period's frames.
+    # Commuted cross-attention (models/decoder.py::_attend_cross_commuted):
+    # per beam step per layer the memory is READ twice (score + weighted-
+    # sum contractions over the visible frames, 2·B·T·d MACs) and the K/V
+    # projections collapse to two per-hypothesis d×d folds (2·B·d²) —
+    # T-independent projection cost, vs the round-3 design's 2·T·d²
+    # per-layer rematerialization. Mean visible length under the churn
+    # schedule ≈ half the churn period's frames.
     t_avg = (CHURN_PERIOD / 2.0) * frames_sub
-    remat = 2.0 * cfg.decoder_layers * 2 * t_avg * (
-        cfg.decoder_dim * cfg.decoder_dim
-    ) * steps
-    return enc + ctc + dec + remat
+    d = cfg.decoder_dim
+    cross = 2.0 * cfg.decoder_layers * beam * 2 * (t_avg * d + d * d) * steps
+    return enc + ctc + dec + cross
 
 
 def measure(model, n_streams: int, beam: int,
@@ -137,9 +139,21 @@ def measure(model, n_streams: int, beam: int,
     """(mean, median, p95) iteration latency (seconds) at steady state with
     n_streams active streams; churn_period > 0 adds staggered
     finalize+rejoin every churn_period ticks (batched via
-    engine.finalize_batch, flushed every FINAL_FLUSH ticks)."""
+    engine.finalize_batch, flushed every FINAL_FLUSH ticks).
+
+    Emits `#prog` progress markers to stderr so the parent can DIAGNOSE a
+    rung that dies on timeout (compile stall vs slow ticks vs OOM — the
+    r03 S=768 rung reported only "timed out"): each marker carries the
+    phase, tick index, and elapsed seconds."""
     from speechcatcher_tpu.serve.engine import StreamingEngine
 
+    t_start = time.perf_counter()
+
+    def prog(msg: str):
+        print(f"#prog S={n_streams} {msg} t={time.perf_counter()-t_start:.0f}s",
+              file=sys.stderr, flush=True)
+
+    prog("building engine")
     engine = StreamingEngine(
         model, n_slots=n_streams, beam_size=beam, chunk_samples=CHUNK
     )
@@ -183,6 +197,12 @@ def measure(model, n_streams: int, beam: int,
     pending: dict = {}
     pend_t: dict = {}
     for i in range(n_ticks):
+        if i % 4 == 0 or i == warmup:
+            # Warmup ticks pay the first-visit XLA compiles (minutes cold);
+            # the marker cadence lets the parent see exactly where a
+            # timed-out rung was stuck and how fast ticks were moving.
+            prog(f"{'timed' if i >= warmup else 'warmup'} tick "
+                 f"{i}/{n_ticks}")
         t0 = time.perf_counter()
         batch = {}
         for s in list(age):
@@ -253,8 +273,8 @@ def _build_model(on_accelerator: bool):
     cfg = _flagship_config().replace(
         cache_dtype="bfloat16",
         ctc_ring_dtype=os.environ.get("SC_TPU_RING", "bfloat16"),
-        # bf16 emitted-frame ring: −0.85 MB/stream and halves the raw-frame
-        # reads of the per-step cross-KV rematerialization (the drain
+        # bf16 emitted-frame ring: −0.85 MB/stream and halves the per-step
+        # raw-frame reads of the commuted cross-attention (the drain
         # path's dominant HBM traffic). SC_TPU_ENC_RING=float32 restores.
         enc_ring_dtype=os.environ.get("SC_TPU_ENC_RING", "bfloat16"),
     )
@@ -374,9 +394,42 @@ def _probe_platform() -> str:
     return "tpu"
 
 
+# Failed rungs, with the diagnosed cause (VERDICT r03 #6: "timed out"
+# alone says nothing — distinguish compile stall vs OOM vs slow ticks).
+# Emitted in the result JSON as "failures".
+_FAILURES: list = []
+
+
+def _diagnose_timeout(stderr: str, n_streams: int, timeout_s: float) -> str:
+    """Classify a timed-out rung from its #prog markers (phase, tick,
+    elapsed) — see measure()."""
+    marks = [l.strip() for l in (stderr or "").splitlines()
+             if l.startswith("#prog")]
+    if not marks:
+        return ("no progress marker before timeout: backend init or the "
+                "first program's XLA compile stalled (relay outage?)")
+    last = marks[-1].replace(f"#prog S={n_streams} ", "")
+    ticky = [l for l in marks if " tick " in l]
+    if len(ticky) >= 2:
+        # ticks were moving: estimate the pace from the last two markers
+        def parse(l):
+            tick = int(l.split(" tick ")[1].split("/")[0])
+            el = float(l.rsplit("t=", 1)[1].rstrip("s"))
+            return tick, el
+
+        (t0, e0), (t1, e1) = parse(ticky[0]), parse(ticky[-1])
+        pace = (e1 - e0) / max(t1 - t0, 1)
+        kind = ("slow ticks" if pace > 2 * CHUNK_SEC
+                else "compiles still interleaving" if "warmup" in last
+                else "ticks near real time — timeout too short")
+        return (f"{kind}: ~{pace*1000:.0f} ms/tick, died at [{last}] "
+                f"with timeout {timeout_s:.0f}s")
+    return f"stalled after [{last}] (no further markers)"
+
+
 def _rung_subprocess(n_streams: int, churn_period: int, timeout_s: float):
     """Run one rung in a fresh interpreter; returns the stats dict or
-    None."""
+    None (recording the diagnosed failure in _FAILURES)."""
     import subprocess
 
     try:
@@ -385,8 +438,15 @@ def _rung_subprocess(n_streams: int, churn_period: int, timeout_s: float):
              "--churn", str(churn_period)],
             capture_output=True, text=True, timeout=timeout_s,
         )
-    except subprocess.TimeoutExpired:
-        print(f"# S={n_streams} timed out", file=sys.stderr)
+    except subprocess.TimeoutExpired as e:
+        blob = (e.stdout or "") + (e.stderr or "")
+        if any(k in blob for k in ("RESOURCE_EXHAUSTED", "Out of memory",
+                                   "OOM")):
+            why = "OOM during the run (RESOURCE_EXHAUSTED in output)"
+        else:
+            why = _diagnose_timeout(e.stderr or "", n_streams, timeout_s)
+        print(f"# S={n_streams} timed out: {why}", file=sys.stderr)
+        _FAILURES.append({"streams": n_streams, "why": f"timeout: {why}"})
         return None
     for line in reversed(res.stdout.strip().splitlines() or [""]):
         try:
@@ -402,6 +462,10 @@ def _rung_subprocess(n_streams: int, churn_period: int, timeout_s: float):
         k in l for k in ("RESOURCE_EXHAUSTED", "Out of memory", "OOM",
                          "Error", "error", "Exception"))][-4:]
     print(f"# S={n_streams} failed: {info or lines[-1:]}", file=sys.stderr)
+    _FAILURES.append({
+        "streams": n_streams,
+        "why": "; ".join(info or lines[-1:])[:500] or "no output",
+    })
     return None
 
 
@@ -429,7 +493,10 @@ def main():
     if not on_accelerator:
         # Local smoke mode: tiny model + tiny ladder so CI stays fast.
         climb = [2]
+        stretch = []
         fallback = []
+        lat_climb = []
+        lat_fallback = []
         churn_period = 5  # short utterances: CI smoke stays fast
     else:
         # Climb from the best KNOWN-GOOD rung (256 held real time in the
@@ -450,12 +517,25 @@ def main():
         # S=512 mean 310 ms (RTF 0.60, was 561 pre-cache) — anchor there
         # and climb in bold steps (each rung pays cold compiles, so fewer
         # larger rungs cover more ground inside the time budget).
-        climb = [512, 640, 768]
+        # 512 and 640 both passed in the round-3 DRIVER run (BENCH_r03:
+        # RTF 0.48 / 0.66) and their programs sit in the persistent
+        # compile cache — anchor there. 768 timed out with no diagnosis in
+        # r03; it runs LAST as a stretch rung (larger per-rung timeout,
+        # whatever budget remains) so both headline metrics bank first.
+        climb = [512, 640]
+        stretch = [768]
         # Fallback re-tries the anchor first: a transient relay stall can
         # kill the anchor rung's subprocess (RUNG_TIMEOUT_S) even though
         # the rung itself is known-good — give it a second chance on a
         # recovered relay before descending.
         fallback = [512, 448, 256]
+        # Second BASELINE north-star (BASELINE.md:23-27): the largest S
+        # whose MEDIAN tick stays under 100 ms (p50 chunk latency), not
+        # just under the 512 ms real-time bound. Climb stops at the first
+        # rung over 100 ms; the fallback probes smaller if the first rung
+        # already misses.
+        lat_climb = [192, 256, 320]
+        lat_fallback = [128, 96]
         churn_period = CHURN_PERIOD
 
     # Accelerator path: the parent NEVER touches the device (no model
@@ -492,42 +572,47 @@ def main():
     best_p95 = None
     best_fl50 = 0.0
     best_fl95 = 0.0
+    lat_best_s = 0
+    lat_best_med = None
     results = []
 
-    def try_rung(s: int, first: bool) -> Optional[dict]:
-        """Measure rung s (with one near-miss retry); returns the passing
-        stats dict or None. The budget is enforced for EVERY rung including
-        the first (round 2's unbounded first rung contributed to overrunning
+    def remaining() -> float:
+        return TIME_BUDGET_S - (time.time() - start)
+
+    def try_rung(s: int, timeout_cap: float = RUNG_TIMEOUT_S,
+                 rt_gate: bool = True) -> Optional[dict]:
+        """Measure rung s (with one near-miss retry); returns the stats
+        dict — or None when the rung failed outright or (rt_gate) missed
+        real time. The budget is enforced for EVERY rung including the
+        first (round 2's unbounded first rung contributed to overrunning
         the driver window); best-so-far emission still banks partial
         ladders."""
         nonlocal flops_tick_stream
-        remaining = TIME_BUDGET_S - (time.time() - start)
-        if remaining < 120:
+        if remaining() < 120:
             return None
         got = _rung_subprocess(s, churn_period,
-                               timeout_s=min(remaining, RUNG_TIMEOUT_S))
+                               timeout_s=min(remaining(), timeout_cap))
         if got is None:
             return None
         if flops_tick_stream is None:
             flops_tick_stream = got.get("flops_tick_stream")
-        if CHUNK_SEC <= got["mean"] < 1.3 * CHUNK_SEC and (
-            TIME_BUDGET_S - (time.time() - start) > 180
-        ):
+        if rt_gate and CHUNK_SEC <= got["mean"] < 1.3 * CHUNK_SEC \
+                and remaining() > 180:
             # Near miss: first-visit compiles + ±20% chip variance; the
             # retry runs with a warm cache and keeps the better run.
             again = _rung_subprocess(s, churn_period, timeout_s=min(max(
-                TIME_BUDGET_S - (time.time() - start), 120),
-                RUNG_TIMEOUT_S))
+                remaining(), 120), timeout_cap))
             if again is not None and again["mean"] < got["mean"]:
                 got = again
         p50, p95 = got["mean"], got["p95"]
+        med = got.get("median", p50)
         rtf = p50 / CHUNK_SEC
-        results.append((s, p50, p95, rtf))
+        results.append((s, p50, med, p95, rtf))
         print(f"# S={s}: mean iter {p50*1000:.1f} ms (RTF {rtf:.3f}, "
-              f"p95 {p95*1000:.1f} ms, final p95 "
+              f"p50 {med*1000:.1f} ms, p95 {p95*1000:.1f} ms, final p95 "
               f"{got.get('final_p95', 0.0)*1000:.0f} ms, with churn)",
               file=sys.stderr)
-        return got if p50 < CHUNK_SEC else None
+        return got if (p50 < CHUNK_SEC or not rt_gate) else None
 
     def result_json() -> str:
         tflops = (
@@ -550,6 +635,10 @@ def main():
             "final_latency_p50_ms": round(best_fl50 * 1e3, 1),
             "final_latency_p95_ms": round(best_fl95 * 1e3, 1),
             "single_stream_p50_ms": round((single_p50 or 0.0) * 1e3, 1),
+            # BASELINE.md's latency-constrained capacity: largest S whose
+            # MEDIAN tick stayed under 100 ms (0 = not reached/measured).
+            "value_p50_100ms": lat_best_s,
+            "p50_100ms_tick_ms": round((lat_best_med or 0.0) * 1e3, 1),
             "chunk_ms": CHUNK_SEC * 1e3,
             "finalize_churn": True,
             "churn_period_ticks": churn_period,
@@ -557,35 +646,83 @@ def main():
             "wire": WIRE,
             "analytic_tflops": round(tflops, 3),
             "platform": platform,
+            "failures": _FAILURES,
             "ladder": [
                 {"streams": s, "p50_ms": round(p * 1e3, 1),
+                 "median_ms": round(m * 1e3, 1),
                  "p95_ms": round(p95_ * 1e3, 1), "rtf": round(r, 3)}
-                for s, p, p95_, r in results
+                for s, p, m, p95_, r in results
             ],
         })
 
-    first = True
-    for s in climb:
-        got = try_rung(s, first)
-        first = False
-        if got is None:
-            break  # climbing stops at the first failing rung
+    def bank(s: int, got: dict):
+        nonlocal best_s, best_p50, best_p95, best_fl50, best_fl95
         best_s, best_p50, best_p95 = s, got["mean"], got["p95"]
         best_fl50 = got.get("final_p50", 0.0)
         best_fl95 = got.get("final_p95", 0.0)
+
+    def bank_lat(s: int, med: float):
+        nonlocal lat_best_s, lat_best_med
+        if med < 0.100 and s > lat_best_s:
+            lat_best_s, lat_best_med = s, med
+
+    climb_ok = True
+    for s in climb:
+        got = try_rung(s)
+        if got is None:
+            climb_ok = False
+            break  # climbing stops at the first failing rung
+        bank(s, got)
+        bank_lat(s, got.get("median", got["mean"]))
         # Emit the best-so-far result after EVERY passing rung: if the
         # harness kills the run mid-ladder, the last parseable line still
         # records the banked result.
         print(result_json(), flush=True)
     if not best_s:
         for s in fallback:
-            got = try_rung(s, first)
-            first = False
+            got = try_rung(s)
             if got is not None:
-                best_s, best_p50, best_p95 = s, got["mean"], got["p95"]
-                best_fl50 = got.get("final_p50", 0.0)
-                best_fl95 = got.get("final_p95", 0.0)
+                bank(s, got)
+                bank_lat(s, got.get("median", got["mean"]))
+                print(result_json(), flush=True)
                 break
+
+    # Latency-constrained ladder (median < 100 ms) — runs BEFORE the
+    # stretch rung so both headline metrics bank even if the stretch eats
+    # the rest of the budget. Skips rungs the main ladder already answers.
+    lat_rungs = [s for s in lat_climb if s > lat_best_s]
+    for s in lat_rungs:
+        got = try_rung(s, rt_gate=False)
+        if got is None:
+            break
+        med = got.get("median", got["mean"])
+        if med >= 0.100:
+            break
+        bank_lat(s, med)
+        print(result_json(), flush=True)
+    if not lat_best_s:
+        for s in lat_fallback:
+            got = try_rung(s, rt_gate=False)
+            if got is None:
+                continue
+            med = got.get("median", got["mean"])
+            if med < 0.100:
+                bank_lat(s, med)
+                print(result_json(), flush=True)
+                break
+
+    # Stretch rung(s): first visit pays cold XLA compiles on top of the
+    # run itself, so grant up to the whole remaining budget (capped) —
+    # and if it still dies, _FAILURES carries the marker-based diagnosis
+    # instead of r03's bare "timed out".
+    if climb_ok and best_s:
+        for s in stretch:
+            got = try_rung(s, timeout_cap=900.0)
+            if got is None:
+                break
+            bank(s, got)
+            bank_lat(s, got.get("median", got["mean"]))
+            print(result_json(), flush=True)
 
     print(result_json())
 
