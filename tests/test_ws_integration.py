@@ -1,8 +1,13 @@
-"""Full websocket integration smoke: real server + real client on localhost.
+"""Full websocket integration: real server + real clients on localhost.
 
-Opt-in (RUN_WS_SMOKE=1): first-tick compiles make it slow on CPU. Verified
-behaviors: Vosk config message, PCM streaming, partial replies, eof →
-final {"result": [...], "text": ...} with word timings, serving metrics.
+test_websocket_roundtrip is opt-in (RUN_WS_SMOKE=1): first-tick compiles
+make it slow on CPU. Verified behaviors: Vosk config message, PCM
+streaming, partial replies, eof → final {"result": [...], "text": ...}
+with word timings, serving metrics.
+
+test_websocket_stress_concurrent_clients always runs: it is the
+concurrency-safety test for the SessionManager lock + slot-reuse paths
+(VERDICT r03 #9) and must stay in CI.
 """
 
 import asyncio
@@ -12,12 +17,13 @@ import os
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.skipif(
+_SMOKE = pytest.mark.skipif(
     os.environ.get("RUN_WS_SMOKE") != "1",
     reason="slow integration smoke; set RUN_WS_SMOKE=1",
 )
 
 
+@_SMOKE
 def test_websocket_roundtrip():
     websockets = pytest.importorskip("websockets")
 
@@ -78,5 +84,208 @@ def test_websocket_roundtrip():
                 snap = manager.metrics.snapshot()
                 assert snap["total_finals"] >= 1
         batch_task.cancel()
+
+    asyncio.run(main())
+
+
+def _tone_pcm(seed: int, seconds: float, rate: int) -> np.ndarray:
+    """Deterministic int16 tone+noise, distinct per seed."""
+    rng = np.random.RandomState(seed)
+    t = np.arange(int(seconds * rate)) / rate
+    f = 150 + 35 * (seed % 11)
+    x = np.clip(
+        0.4 * np.sin(2 * np.pi * f * t) + 0.05 * rng.randn(len(t)), -1, 1
+    )
+    return (x * 30000).astype(np.int16)
+
+
+def _warm_engine(engine, n_slots: int):
+    """Pre-compile the serving programs the stress phase will hit: the
+    int16-wire tick at full width and the compact drain at every
+    power-of-two bucket (engine._finalize_compact pads the finalizing
+    group to 4/8/…). The CI box has ONE cpu core, so each cold XLA
+    compile (~30-60 s) that lands MID-stress starves every concurrent
+    client; warming them up front keeps the measured phase warm — exactly
+    like production, where bench.py's warmup ticks (or the persistent
+    compile cache) pay these before traffic."""
+    import numpy as np
+
+    chunk = np.zeros(engine.A, np.int16)
+    widths = [4]
+    while widths[-1] < n_slots:
+        widths.append(widths[-1] * 2)
+    for width in reversed(widths):
+        slots = [engine.acquire_slot() for _ in range(width)]
+        assert None not in slots
+        engine.tick({s: chunk for s in slots})
+        # Tail < one chunk: same geometry as an eof-drained session.
+        engine.finalize_batch(
+            {s: np.zeros(2816, np.float32) for s in slots}
+        )
+
+
+def test_websocket_stress_concurrent_clients():
+    """Serving concurrency safety under churn (VERDICT r03 #9): 32 clients
+    against an 8-slot engine — admission rejects ("busy") with retry,
+    random disconnects mid-utterance (slot release while the batcher
+    ticks), mixed sample rates (8 kHz clients ride the scipy resample
+    path), and 3 generations of slot REUSE.
+
+    Cross-session bleed check: clients k and k' with k ≡ k' (mod 8) send
+    IDENTICAL audio from different connections into recycled slots;
+    decode is deterministic per staged audio (eof-driven finals, no
+    plateau cut, fixed 8192-sample tick partition regardless of arrival
+    timing), so their final transcripts must match token-for-token — any
+    stale state leaking through slot reuse diverges them. Tick latency
+    must stay bounded (no lock convoy between open/close and the
+    batcher)."""
+    websockets = pytest.importorskip("websockets")
+
+    from speechcatcher_tpu.config import tiny_config
+    from speechcatcher_tpu.models.asr_model import ASRModel
+    from speechcatcher_tpu.serve.engine import StreamingEngine
+    from speechcatcher_tpu.serve.server import (
+        SessionManager,
+        _batcher,
+        recognize_ws,
+    )
+
+    N_SLOTS = 8
+    N_CLIENTS = 32
+    PORT = 27998
+    # ~4.9 chunks: enough processed blocks that every eof final takes the
+    # batched compact-drain path (npb > 0 — no per-slot short-segment
+    # fallback, whose per-tail-length compiles would starve the 1-core
+    # CI box mid-stress).
+    SECONDS = 2.5
+
+    async def client(k: int, results: dict, disconnect: bool, rate: int):
+        pcm = _tone_pcm(seed=k % N_SLOTS, seconds=SECONDS, rate=rate)
+        # Generous retry budget: later clients poll "busy" while earlier
+        # finals wait out engine ticks on the 1-core CI box.
+        for attempt in range(1200):
+            try:
+                ws = await websockets.connect(f"ws://localhost:{PORT}")
+            except OSError:
+                await asyncio.sleep(0.25)
+                continue
+            msgs: list = []
+            busy = False
+            dead = False
+
+            async def recv():
+                nonlocal busy, dead
+                try:
+                    async for m in ws:
+                        if isinstance(m, str) and m.startswith("Server busy"):
+                            busy = True
+                            return
+                        msgs.append(json.loads(m))
+                except Exception:
+                    pass
+                dead = True
+
+            rt = asyncio.create_task(recv())
+            try:
+                # NB the handshake completes BEFORE the server decides
+                # admission, so every send below can land in the buffer of
+                # a connection the handler is about to reject — or raise
+                # once the rejection's close arrives. Both are normal
+                # busy-path outcomes: detect, fall through, retry.
+                await ws.send(json.dumps({"config": {"sample_rate": rate}}))
+                step = 3200
+                n_steps = len(pcm) // step + 1
+                # 8 kHz clients have fewer (bigger-seconds) messages: cap
+                # the disconnect point so it actually lands mid-utterance.
+                cut = (min(rng_cut[k], n_steps - 1) if disconnect
+                       else n_steps + 1)
+                for i in range(n_steps):
+                    if busy:
+                        break
+                    if i == cut:
+                        # abrupt mid-utterance disconnect — no eof
+                        await ws.close()
+                        results[k] = ("disconnected", None)
+                        return
+                    await ws.send(pcm[i * step : (i + 1) * step].tobytes())
+                    await asyncio.sleep(0.01)
+                if not busy:
+                    await ws.send(json.dumps({"eof": 1}))
+                    for _ in range(4800):
+                        if busy or dead or any("result" in m for m in msgs):
+                            break
+                        await asyncio.sleep(0.05)
+                    finals = [m for m in msgs if "result" in m]
+                    if finals:
+                        results[k] = ("final", finals[-1]["text"])
+                        return
+                    assert busy or dead, (
+                        f"client {k}: no final before timeout"
+                    )
+            except websockets.exceptions.ConnectionClosed:
+                pass  # busy rejection closed the socket mid-send — retry
+            finally:
+                rt.cancel()
+                try:
+                    await ws.close()
+                except Exception:
+                    pass
+            # busy/closed: retry until a slot frees (admission path)
+            results.setdefault(k, ("busy_gave_up", None))
+            await asyncio.sleep(0.25)
+        raise AssertionError(f"client {k}: no slot after retries")
+
+    rng = np.random.RandomState(99)
+    # 5 clients disconnect mid-utterance at a random chunk (no eof).
+    disconnecters = set(rng.choice(N_CLIENTS, size=5, replace=False).tolist())
+    rng_cut = {k: int(rng.randint(1, 8)) for k in range(N_CLIENTS)}
+
+    async def main():
+        model = ASRModel.random_init(tiny_config(), seed=3)
+        engine = StreamingEngine(model, n_slots=N_SLOTS, beam_size=2)
+        await asyncio.to_thread(_warm_engine, engine, N_SLOTS)
+        # finalize_update_iters high: finals are eof-driven only, so a
+        # transcript is a pure function of the staged audio (bleed check).
+        manager = SessionManager(engine, finalize_update_iters=99)
+        batch_task = asyncio.create_task(_batcher(manager, 0.01))
+
+        async def handler(conn):
+            await recognize_ws(conn, manager)
+
+        async with websockets.serve(handler, "localhost", PORT):
+            results: dict = {}
+            # 4 staggered waves of 8: each wave's connects race the
+            # previous wave's finals/disconnects for the freed slots.
+            tasks = []
+            for w in range(0, N_CLIENTS, N_SLOTS):
+                tasks += [
+                    asyncio.create_task(client(
+                        k, results, disconnect=(k in disconnecters),
+                        rate=8000 if k % 4 == 3 else 16000,
+                    ))
+                    for k in range(w, w + N_SLOTS)
+                ]
+                await asyncio.sleep(0.5)
+            await asyncio.wait_for(asyncio.gather(*tasks), timeout=900)
+            batch_task.cancel()
+
+            # Every non-disconnecting client got a final.
+            finals = {k: v[1] for k, v in results.items() if v[0] == "final"}
+            expected_finals = set(range(N_CLIENTS)) - disconnecters
+            assert set(finals) == expected_finals, results
+            # Bleed check: clients k ≡ k' (mod N_SLOTS) sent identical
+            # audio through recycled slots — transcripts must agree.
+            for seed in range(N_SLOTS):
+                group = sorted(finals[k] for k in expected_finals
+                               if k % N_SLOTS == seed)
+                assert len(set(group)) <= 1, (
+                    f"slot-reuse transcript divergence for seed {seed}: "
+                    f"{group!r}"
+                )
+            snap = manager.metrics.snapshot()
+            assert snap["total_finals"] >= len(expected_finals)
+            # Bounded tick latency: generous 1-core-CPU bound (programs
+            # pre-warmed) — catches lock convoys, not absolute speed.
+            assert snap["tick_p95_ms"] < 30000, snap
 
     asyncio.run(main())
