@@ -50,6 +50,8 @@ import sys
 import urllib.request
 from pathlib import Path
 
+import numpy as np
+
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
@@ -79,18 +81,32 @@ def fetch_audio(cache_dir: Path) -> Path:
     return dest
 
 
-def decode(tag: str, audio: Path, cache_dir: Path, beam_size: int) -> str:
+def decode(tag: str, audio: Path, cache_dir: Path, beam_size: int,
+           dtype: str = "float32", mulaw_wire: bool = False) -> str:
+    """Decode `audio` with the zoo model at the requested precision mode.
+
+    dtype is a Speech2TextStreaming precision mode (float32 | bfloat16 |
+    int8 | int8-all — see streaming.py). mulaw_wire additionally
+    round-trips the audio through the serving wire codec
+    (serve/wire.py::mulaw_encode_f32 → mulaw_decode), which is
+    bit-identical to what the batched engine's uint8 ingest computes on
+    device (tests/test_wire.py) — so its WER impact is measured without a
+    websocket in the loop."""
     from speechcatcher_tpu.recognize import load_model, recognize
     from speechcatcher_tpu.utils.audio import convert_media
 
     try:
         s2t = load_model(tag=tag, beam_size=beam_size,
-                         cache_dir=str(cache_dir))
+                         cache_dir=str(cache_dir), dtype=dtype)
     except Exception as e:
         print(f"ERROR: model download/load failed for '{tag}': {e}",
               file=sys.stderr)
         sys.exit(2)
     data, rate = convert_media(str(audio))
+    if mulaw_wire:
+        from speechcatcher_tpu.serve.wire import mulaw_decode, mulaw_encode_f32
+
+        data = mulaw_decode(mulaw_encode_f32(np.asarray(data, np.float32)))
     text, _ = recognize(s2t, data, rate, progress=True, quiet=True)
     return text.strip()
 
@@ -129,6 +145,16 @@ def main() -> int:
     parser.add_argument("--max-truth-wer", type=float, default=0.40,
                         help="loose gate vs the bare poem text (LibriVox "
                         "boilerplate counts as insertions)")
+    parser.add_argument("--modes", default="float32",
+                        help="comma list of precision modes to decode and "
+                        "WER-table (float32,bfloat16,int8,int8-all,mulaw; "
+                        "'all' = every mode). The golden/bless gates apply "
+                        "to the float32 decode; every other mode is "
+                        "reported as a WER delta vs float32 AND vs truth, "
+                        "gated by --max-mode-drift-wer.")
+    parser.add_argument("--max-mode-drift-wer", type=float, default=0.03,
+                        help="gate for each reduced-precision mode's WER "
+                        "vs the float32 decode of the same audio")
     args = parser.parse_args()
 
     from speechcatcher_tpu.wer import word_error_rate
@@ -139,6 +165,35 @@ def main() -> int:
     print(f"\n=== decode ({args.tag}) ===\n{hyp}\n")
 
     ok = True
+
+    # Per-precision-mode WER table: bfloat16 / int8 / int8-all are the
+    # serving precision modes (streaming.py) and "mulaw" is the serving
+    # wire codec; each ships with exactness/structural tests only — the
+    # WER impact on a REAL model is measured here, in the same command as
+    # the parity gate, the moment egress exists.
+    all_modes = ["bfloat16", "int8", "int8-all", "mulaw"]
+    modes = ([] if args.modes in ("", "float32") else
+             all_modes if args.modes == "all" else
+             [m for m in args.modes.split(",") if m != "float32"])
+    if modes:
+        truth = TRUTH_FILE.read_text().strip() if TRUTH_FILE.exists() else None
+        print(f"{'mode':<10} {'WER vs f32':>11} {'WER vs truth':>13}")
+        print(f"{'float32':<10} {0.0:>11.3f} " + (
+            f"{word_error_rate([truth], [hyp])['wer']:>13.3f}"
+            if truth else f"{'n/a':>13}"))
+        for mode in modes:
+            m_hyp = decode(args.tag, audio, cache_dir, args.beam_size,
+                           dtype="float32" if mode == "mulaw" else mode,
+                           mulaw_wire=(mode == "mulaw"))
+            drift = word_error_rate([hyp], [m_hyp])["wer"]
+            t_wer = (word_error_rate([truth], [m_hyp])["wer"]
+                     if truth else None)
+            print(f"{mode:<10} {drift:>11.3f} " + (
+                f"{t_wer:>13.3f}" if t_wer is not None else f"{'n/a':>13}"))
+            if drift > args.max_mode_drift_wer:
+                print(f"FAIL: {mode} drift {drift:.3f} vs float32 > "
+                      f"{args.max_mode_drift_wer}")
+                ok = False
 
     if TRUTH_FILE.exists():
         truth = TRUTH_FILE.read_text().strip()

@@ -54,6 +54,9 @@ def load_model(
     decoder_impl: str = "tpu",   # accepted for API compat; single decoder
     fp16: bool = False,          # bf16 is the native compute dtype
     use_bbd: bool = True,
+    dtype: Optional[str] = None,  # explicit precision mode: float32 |
+                                  # bfloat16 | int8 | int8-all (overrides
+                                  # fp16; see Speech2TextStreaming)
 ) -> Speech2TextStreaming:
     """Resolve a tag/path/URL to a ready streaming session
     (reference speechcatcher.py:126-227)."""
@@ -68,7 +71,7 @@ def load_model(
         model_dir=model_dir,
         beam_size=beam_size,
         ctc_weight=0.3,
-        dtype="bfloat16" if fp16 else "float32",
+        dtype=dtype or ("bfloat16" if fp16 else "float32"),
         use_bbd=use_bbd,
     )
 
