@@ -78,3 +78,71 @@ def reference_params_to_jax(encoder, decoder, ctc, cfg: ModelConfig):
 
 def rand_feats(rng: np.random.RandomState, b: int, t: int, f: int) -> np.ndarray:
     return rng.randn(b, t, f).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Flagship-dims golden tier (VERDICT r03 #7): the torch-parity tests above
+# run at tiny_config; this builder reproduces the SERVING architecture
+# (de_streaming_transformer_xl-class, d=512/18L/8H — __graft_entry__.py::
+# _flagship_config) deterministically so a torch-golden decode blessed once
+# (scripts/bless_flagship_golden.py) can be matched token-exactly in CI
+# without rerunning the slow reference beam search.
+
+FLAGSHIP_GOLDEN_SEED = 7
+FLAGSHIP_GOLDEN_CHUNKS = 10      # feature chunks fed to process_block
+FLAGSHIP_GOLDEN_CHUNK_T = 120    # frames per chunk (~1.2 s each)
+
+
+def flagship_parity_config():
+    from __graft_entry__ import _flagship_config
+
+    # f32 caches: the golden tier pins exact token parity; reduced-precision
+    # drift is bounded separately (tests/test_decoder.py bf16 test).
+    return _flagship_config()
+
+
+def make_flagship_parity_setup(seed: int = FLAGSHIP_GOLDEN_SEED):
+    """(our_model, ref_model, chunks, finals) at flagship dims.
+
+    The torch modules' EOS/blank logit biases are raised IN THE WEIGHTS
+    (+4 on decoder output <sos/eos>, +10 on ctc_lo <blank>) before
+    conversion, exactly like bench.py::_build_model: random weights never
+    rank EOS otherwise, so every final would burst to the max_tokens step
+    budget — a pathology real checkpoints don't have. Both sides decode
+    the identical biased weights, so parity is unaffected."""
+    import types
+
+    import torch
+
+    import jax.numpy as jnp
+
+    from speechcatcher_tpu.models.asr_model import ASRModel
+    from speechcatcher_tpu.models.decoder import decoder_pe_table
+    from speechcatcher_tpu.models.encoder import encoder_pe_table
+    from speechcatcher_tpu.ops.frontend import Frontend
+    from speechcatcher_tpu.tokenizer import Tokenizer
+
+    cfg = flagship_parity_config()
+    ref_enc, ref_dec, ref_ctc = make_reference_modules(cfg, seed=seed)
+    with torch.no_grad():
+        ref_dec.output_layer.bias[cfg.eos_id] += 4.0
+        ref_ctc.ctc_lo.bias[cfg.blank_id] += 10.0
+    params = reference_params_to_jax(ref_enc, ref_dec, ref_ctc, cfg)
+    model = ASRModel(
+        cfg=cfg,
+        params=params,
+        frontend=Frontend(n_fft=cfg.n_fft, hop_length=cfg.hop_length,
+                          win_length=cfg.win_length, n_mels=cfg.n_mels),
+        tokenizer=Tokenizer.dummy(cfg.vocab_size),
+        enc_pe=encoder_pe_table(cfg),
+        dec_pe=decoder_pe_table(cfg),
+    )
+    ref_model = types.SimpleNamespace(
+        encoder=ref_enc, decoder=ref_dec, ctc=ref_ctc,
+        vocab_size=cfg.vocab_size,
+    )
+    rng = np.random.RandomState(seed)
+    chunks = [rand_feats(rng, 1, FLAGSHIP_GOLDEN_CHUNK_T, cfg.n_mels)
+              for _ in range(FLAGSHIP_GOLDEN_CHUNKS)]
+    finals = [False] * (FLAGSHIP_GOLDEN_CHUNKS - 1) + [True]
+    return model, ref_model, chunks, finals

@@ -1,0 +1,62 @@
+"""Flagship-dims golden decode (VERDICT r03 #7): replay OUR streaming BSBS
+at the SERVING architecture (d=512/18L/8H, beam 5) against the committed
+torch-golden fixture.
+
+The fixture (tests/fixtures/flagship_golden.json) was produced by
+scripts/bless_flagship_golden.py, which ran the reference Python BSBS
+(/root/reference/speechcatcher/beam_search/beam_search.py) on the same
+deterministic random weights + features and verified token-exact agreement
+with this decode before writing it. CI then only pays our (fast) side:
+weights regenerate from torch.manual_seed, features from the pinned
+RandomState — both recorded in the fixture.
+"""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from speechcatcher_tpu.decode.beam_search import BlockwiseSynchronousBeamSearch
+
+torch = pytest.importorskip("torch")
+pytest.importorskip("speechcatcher")
+
+FIXTURE = Path(__file__).parent / "fixtures" / "flagship_golden.json"
+
+
+@pytest.mark.skipif(not FIXTURE.exists(),
+                    reason="no blessed fixture; run "
+                    "scripts/bless_flagship_golden.py")
+def test_flagship_golden_token_exact():
+    from helpers import FLAGSHIP_GOLDEN_SEED, make_flagship_parity_setup
+
+    golden = json.loads(FIXTURE.read_text())
+    assert golden["seed"] == FLAGSHIP_GOLDEN_SEED, (
+        "fixture was blessed for a different seed — re-run "
+        "scripts/bless_flagship_golden.py"
+    )
+
+    model, _ref, chunks, finals = make_flagship_parity_setup(golden["seed"])
+    # Architecture drift guard: the fixture records the blessed config.
+    import dataclasses
+
+    assert dataclasses.asdict(model.cfg) == golden["cfg"], (
+        "flagship_parity_config changed since the fixture was blessed"
+    )
+
+    bsbs = BlockwiseSynchronousBeamSearch(
+        model, beam_size=golden["beam"], ctc_weight=0.3, use_bbd=True
+    )
+    for chunk, is_final in zip(chunks, finals):
+        bsbs.process_block(jnp.asarray(chunk), is_final=is_final)
+    yseq, xpos, score = bsbs.nbest_hypotheses()[0]
+
+    assert list(yseq) == golden["yseq"], (
+        f"token mismatch vs blessed torch decode:\n"
+        f"  golden: {golden['yseq']}\n  ours:   {list(yseq)}"
+    )
+    assert list(xpos) == golden["xpos"]
+    np.testing.assert_allclose(score, golden["score"], rtol=1e-2, atol=1e-2)
