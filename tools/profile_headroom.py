@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Compute-bound ceiling probe (link out of the loop).
+
+bench.py measures the DEPLOYED tick: audio crosses the relay link every
+tick (mu-law H2D) and partials ride back (D2H). The xplane profile says
+that link, not the MXU, bounds the tick at the top rungs — so the bench
+number is a lower bound on what the chip itself can do. This probe
+publishes the other bound: the same serving tick with audio PRE-STAGED
+device-resident and no partial readback, i.e. pure device work (frontend +
+encoder + beam rounds), timed with block_until_ready. The pair
+(link-bound bench, compute-bound probe) tells the next perf round which
+side to attack (docs/ARCHITECTURE.md "Performance").
+
+Usage (real TPU):
+    python tools/profile_headroom.py [S] [--ticks N] [--xplane DIR]
+
+With --xplane DIR, one timed epoch runs under jax.profiler.trace for
+module-level attribution (see tools/profile_xplane.py to digest it).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("streams", nargs="?", type=int, default=512)
+    ap.add_argument("--beam", type=int, default=5)
+    ap.add_argument("--ticks", type=int, default=20,
+                    help="timed ticks per epoch (ring capacity bounds "
+                    "ticks-per-acquisition; 20 stays well clear)")
+    ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--xplane", default=None,
+                    help="capture one epoch under jax.profiler.trace")
+    args = ap.parse_args()
+
+    import jax
+
+    import bench
+    from speechcatcher_tpu.serve.engine import StreamingEngine
+
+    on_acc = bench._probe_platform() != "cpu"
+    model = bench._build_model(on_acc)
+    S = args.streams if on_acc else 2
+    engine = StreamingEngine(model, n_slots=S, beam_size=args.beam,
+                             chunk_samples=bench.CHUNK)
+    for _ in range(S):
+        assert engine.acquire_slot() is not None
+
+    rng = np.random.RandomState(0)
+    # int16 wire (bit-exact device normalization); content irrelevant to
+    # cost — the beam search runs the same fixed-shape programs.
+    wave = (np.clip(rng.randn(S, engine.A) * 0.1, -1, 1)
+            * 32767).astype(np.int16)
+    do = np.ones(S, bool)
+
+    def epoch(n_ticks: int) -> float:
+        """One pre-staged epoch; returns steady seconds/tick."""
+        engine._reset_slots(list(range(S)))
+        engine.c.active[:] = True
+        audio_dev = jax.device_put(wave)  # staged ONCE, outside the timing
+        # 2 untimed ticks absorb first-visit compiles / cold caches.
+        for _ in range(2):
+            engine._tick_encode(audio_dev, do)
+            packed = engine._run_rounds(do)
+        if packed is not None:
+            jax.block_until_ready(packed)
+        t0 = time.perf_counter()
+        for _ in range(n_ticks):
+            engine._tick_encode(audio_dev, do)
+            packed = engine._run_rounds(do)
+        if packed is not None:
+            jax.block_until_ready(packed)
+        return (time.perf_counter() - t0) / n_ticks
+
+    epoch(4)  # compile warmup epoch (untimed)
+    per_tick = min(epoch(args.ticks) for _ in range(args.epochs))
+    if args.xplane:
+        with jax.profiler.trace(args.xplane):
+            epoch(max(4, args.ticks // 2))
+        print(f"xplane written to {args.xplane}", file=sys.stderr)
+
+    flops_tick_stream = bench.analytic_flops_per_tick_per_stream(
+        model, args.beam)
+    tflops = flops_tick_stream * S / per_tick / 1e12
+    rtf = per_tick / bench.CHUNK_SEC
+    import json
+
+    print(json.dumps({
+        "metric": "compute_bound_tick_ms",
+        "streams": S,
+        "per_tick_ms": round(per_tick * 1e3, 1),
+        "ticks_per_s": round(1.0 / per_tick, 2),
+        "rtf": round(rtf, 3),
+        "analytic_tflops": round(tflops, 3),
+        "note": "pre-staged device audio, no partial readback; compare "
+                "with bench.py's link-bound tick at the same S",
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
