@@ -41,18 +41,21 @@ CHUNK_SEC = CHUNK / RATE
 # timed window sees ~S/CHURN_PERIOD batched finals per tick — the
 # steady-state serving load.
 CHURN_PERIOD = 32
-# Finals flush every 4 ticks (burst schedule). Measured head-to-head at
-# S=256 on the chip: flush-every-tick mean 600 ms/tick (RTF 1.17, FAILS
-# real time) vs flush-every-4 mean 412 ms (RTF 0.81) — a drain flush pays
-# a near-fixed cost set by its beam-STEP count (each step is a deep chain
-# of latency-bound small ops; f_pad width barely moves it), and the total
-# number of finalization steps is the same under either schedule, so
-# spreading flushes multiplies the fixed cost ×4 for zero work saved.
-# The latency price of bursting is bounded (≤3 ticks ≈ 1.5 s added to a
-# final whose end-to-end latency is already dominated by the ~6-chunk
-# plateau-endpointing window) and is REPORTED, not hidden: the bench
-# measures per-final end-to-end flush latency and emits p50/p95.
-FINAL_FLUSH = int(os.environ.get("SC_TPU_FINAL_FLUSH", "4"))
+# Finals flush every 2 ticks. The flush schedule trades tick time for
+# final latency: a drain flush pays a near-fixed cost set by its beam-STEP
+# count (each step is a deep chain of latency-bound small ops), so
+# flushing more often multiplies that fixed cost for zero work saved —
+# but the commuted cross-attention (round 4, models/decoder.py) cut the
+# per-step cost enough to re-price the trade. Measured head-to-head at
+# S=512 with churn on the chip (round 4):
+#   flush=4: tick 244 ms (RTF 0.48), final p50/p95  970/1012 ms
+#   flush=2: tick 275 ms (RTF 0.54), final p50/p95  545/ 597 ms
+#   flush=1: tick 340 ms (RTF 0.66), final p50/p95  328/ 407 ms
+# (round 3, pre-commute, S=256: flush=1 cost RTF 1.17 vs 0.81 — the drain
+# was 13× more FLOPs then.) Default 2: the final p95 halves for ~13% tick
+# cost, keeping real-time headroom at the top rung; deployments chasing
+# sub-500 ms finals can set SC_TPU_FINAL_FLUSH=1 and spend the headroom.
+FINAL_FLUSH = int(os.environ.get("SC_TPU_FINAL_FLUSH", "2"))
 # Audio wire format (serve/wire.py). The per-tick chunk upload is the
 # tick's dominant wall-clock cost on a relay-attached TPU (xplane: device
 # busy ~139 ms vs ~385-490 ms wall at S=288), so the bench ships mu-law
@@ -439,12 +442,19 @@ def _rung_subprocess(n_streams: int, churn_period: int, timeout_s: float):
             capture_output=True, text=True, timeout=timeout_s,
         )
     except subprocess.TimeoutExpired as e:
-        blob = (e.stdout or "") + (e.stderr or "")
+        # TimeoutExpired carries the captured output as BYTES even under
+        # text=True (CPython quirk: the re-raise skips the decoding).
+        def _s(b):
+            return (b.decode(errors="replace")
+                    if isinstance(b, bytes) else (b or ""))
+
+        err = _s(e.stderr)
+        blob = _s(e.stdout) + err
         if any(k in blob for k in ("RESOURCE_EXHAUSTED", "Out of memory",
                                    "OOM")):
             why = "OOM during the run (RESOURCE_EXHAUSTED in output)"
         else:
-            why = _diagnose_timeout(e.stderr or "", n_streams, timeout_s)
+            why = _diagnose_timeout(err, n_streams, timeout_s)
         print(f"# S={n_streams} timed out: {why}", file=sys.stderr)
         _FAILURES.append({"streams": n_streams, "why": f"timeout: {why}"})
         return None
@@ -551,7 +561,10 @@ def main():
     # Runs in a BOUNDED subprocess like every rung: when the relay is
     # stalled, an in-parent device call blocks forever and the whole
     # bench dies with rc=124 and zero output (observed in round 3).
-    got1 = _rung_subprocess(1, 0, timeout_s=min(RUNG_TIMEOUT_S, 360.0)) \
+    # Full rung timeout: a cold compile cache costs the S=1 rung ~4.5 min
+    # before its first timed tick (measured after the round-4 decoder
+    # change invalidated every cached program).
+    got1 = _rung_subprocess(1, 0, timeout_s=RUNG_TIMEOUT_S) \
         if on_accelerator else None
     if got1 is None and not on_accelerator:
         try:

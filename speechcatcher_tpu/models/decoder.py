@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -170,6 +171,12 @@ def init_decoder_cache(cfg: ModelConfig, n_hyps: int) -> DecoderCache:
 # step, the dominant FLOPs of the finalization drain. The commute keeps
 # the memory reads at two per layer and makes the projection cost
 # T-independent.
+
+
+# Cross-attention implementation switch, read once at import: "commuted"
+# (default; _attend_cross_commuted) or "remat" (the round-3 per-layer K/V
+# rematerialization) — kept for on-chip A/B profiling.
+_CROSS_IMPL = os.environ.get("SC_TPU_CROSS", "commuted")
 
 
 def _dense_weight(p: Params) -> jnp.ndarray:
@@ -428,8 +435,18 @@ def decoder_step(
         residual = h
         hn = layer_norm(p_layer["norm2"], h)
         q = linear(p_layer["src_attn"]["linear_q"], hn)
-        att = _attend_cross_commuted(q, mem_s, p_layer["src_attn"],
-                                     mem_valid, cfg.decoder_heads)
+        if _CROSS_IMPL == "remat":
+            # A/B escape hatch (SC_TPU_CROSS=remat): per-layer K/V
+            # rematerialization, the round-3 formulation.
+            mk_l = linear(p_layer["src_attn"]["linear_k"],
+                          mem_s).astype(cache_dt)
+            mv_l = linear(p_layer["src_attn"]["linear_v"],
+                          mem_s).astype(cache_dt)
+            att = _attend_cross_blocked(q, mk_l, mv_l, mem_valid,
+                                        cfg.decoder_heads)
+        else:
+            att = _attend_cross_commuted(q, mem_s, p_layer["src_attn"],
+                                         mem_valid, cfg.decoder_heads)
         h = residual + linear(p_layer["src_attn"]["linear_out"], att)
         # FFN.
         residual = h
