@@ -124,17 +124,17 @@ def analytic_flops_per_tick_per_stream(model, beam: int) -> float:
     ctc = 2.0 * p_ctc * frames_sub
     steps = 2.0 * blocks
     dec = 2.0 * p_dec * beam * steps
-    # Commuted cross-attention (models/decoder.py::_attend_cross_commuted):
-    # per beam step per layer the memory is READ twice (score + weighted-
-    # sum contractions over the visible frames, 2·B·T·d MACs) and the K/V
-    # projections collapse to two per-hypothesis d×d folds (2·B·d²) —
-    # T-independent projection cost, vs the round-3 design's 2·T·d²
-    # per-layer rematerialization. Mean visible length under the churn
-    # schedule ≈ half the churn period's frames.
+    # Cross-attention K/V rematerialization (models/decoder.py): each
+    # layer projects the visible encoder frames through 2 (d, d) linears.
+    # The projection is loop-invariant across a block's beam steps, so XLA
+    # hoists it out of the step loop — count it per ROUND (≈ per block),
+    # not per step. Mean visible length under the churn schedule ≈ half
+    # the churn period's frames.
     t_avg = (CHURN_PERIOD / 2.0) * frames_sub
-    d = cfg.decoder_dim
-    cross = 2.0 * cfg.decoder_layers * beam * 2 * (t_avg * d + d * d) * steps
-    return enc + ctc + dec + cross
+    remat = 2.0 * cfg.decoder_layers * 2 * t_avg * (
+        cfg.decoder_dim * cfg.decoder_dim
+    ) * blocks
+    return enc + ctc + dec + remat
 
 
 def measure(model, n_streams: int, beam: int,

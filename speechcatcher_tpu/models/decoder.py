@@ -158,25 +158,34 @@ def init_decoder_cache(cfg: ModelConfig, n_hyps: int) -> DecoderCache:
     return DecoderCache(h=jnp.zeros(shape, cfg.cache_jnp_dtype))
 
 
-# NOTE on cross-attention memory: there is deliberately NO cross-KV cache
-# and no per-step K/V rematerialization either. decoder_step attends
-# DIRECTLY on the raw encoder frames with the projections commuted to the
-# query/output side (_attend_cross_commuted). Caching K/V — the
+# NOTE on cross-attention memory: there is deliberately NO cross-KV cache.
+# decoder_step REMATERIALIZES each layer's memory K/V from the raw encoder
+# frames inside the step program. Caching K/V across steps — the
 # reference's design (/root/reference/speechcatcher/model/decoder/
 # transformer_decoder.py forward_one_step precomputes memory projections) —
 # costs L×2 capacity-shaped (S, Tmax, d) buffers per stream (9.4 MB/stream
 # at the flagship serving shape, 38% of the per-stream HBM budget) AND
-# 6× the per-step HBM reads of the raw frames; rematerializing K/V per
-# step (this repo's round-3 design) paid 2·T·d² MACs per layer per beam
-# step, the dominant FLOPs of the finalization drain. The commute keeps
-# the memory reads at two per layer and makes the projection cost
-# T-independent.
+# 6× the per-step HBM reads of the raw frames. The projection LOOKS like
+# per-step work, but the memory is loop-invariant across a block's beam
+# steps, so XLA hoists it out of the `lax.while_loop` — per-ROUND cost on
+# big MXU-friendly GEMMs. An alternative that folds the projections onto
+# the query/output side (_attend_cross_commuted, SC_TPU_CROSS=commuted)
+# eliminates those GEMMs entirely but pays d-contraction (not
+# dk-contraction) score/value einsums on EVERY step: measured slower at
+# scale (S=640: 528 vs 387 ms mean tick) — see _CROSS_IMPL.
 
 
-# Cross-attention implementation switch, read once at import: "commuted"
-# (default; _attend_cross_commuted) or "remat" (the round-3 per-layer K/V
-# rematerialization) — kept for on-chip A/B profiling.
-_CROSS_IMPL = os.environ.get("SC_TPU_CROSS", "commuted")
+# Cross-attention implementation switch, read once at import: "remat"
+# (default: per-layer K/V projection from the raw ring) or "commuted"
+# (_attend_cross_commuted). Measured head-to-head on the chip at S=640
+# with churn (round 4): remat mean tick 387 ms vs commuted 528 ms. The
+# memory is LOOP-INVARIANT across a block's beam steps, so XLA hoists the
+# remat projection out of the step loop (per-round cost), while the
+# commute pays d-contraction score/value einsums (n_head× the FLOPs of
+# dk-contraction attention, ADVICE r03) on EVERY step. The commuted form
+# wins only where the operand grows per step — which is exactly the
+# self-attention activation cache (_attend_cached_lane), where it stays.
+_CROSS_IMPL = os.environ.get("SC_TPU_CROSS", "remat")
 
 
 def _dense_weight(p: Params) -> jnp.ndarray:
@@ -386,15 +395,16 @@ def decoder_step(
     (their cached layer inputs were computed under an older encoder
     context, exactly like the reference's cached layer outputs).
 
-    Cross-attention attends DIRECTLY on the raw `memory` frames (the
-    encoder-output ring the caller already keeps): the K/V projections
-    commute to the query/output side (_attend_cross_commuted), so each
-    layer reads the frames twice and pays only two d×d folds per step —
-    no per-stream cross-KV rings (the reference's design) and no
-    per-step T×d² rematerialization (this repo's previous design). The
-    frames are finite-sanitized ONCE per step before the layer scan
-    (stale/NaN rows past enc_len must stay finite or 0·NaN would leak
-    through the masked value contraction)."""
+    Cross-attention memory K/V are REMATERIALIZED per layer from `memory`
+    (the raw encoder-output ring the caller already keeps) instead of
+    stored in L×2 capacity-shaped per-stream rings (the reference's
+    design): the projection is loop-invariant across a block's beam steps
+    and hoists out of the step loop, so it costs per-ROUND MXU GEMMs, not
+    per-step HBM rings (see the module NOTE and _CROSS_IMPL for the
+    measured A/B vs the commuted alternative). The frames are
+    finite-sanitized ONCE before the layer scan (stale/NaN rows past
+    enc_len must stay finite or 0·NaN would leak through the masked value
+    contraction)."""
     n = tokens.shape[0]
     d = cfg.decoder_dim
     lmax = cache.h.shape[2]   # capacity comes from the (possibly sliced) cache
