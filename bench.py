@@ -422,8 +422,11 @@ def _diagnose_timeout(stderr: str, n_streams: int, timeout_s: float) -> str:
 
         (t0, e0), (t1, e1) = parse(ticky[0]), parse(ticky[-1])
         pace = (e1 - e0) / max(t1 - t0, 1)
-        kind = ("slow ticks" if pace > 2 * CHUNK_SEC
-                else "compiles still interleaving" if "warmup" in last
+        # A death during WARMUP is a compile story whatever the pace —
+        # warmup ticks pay every first-visit XLA compile (minutes each
+        # cold), so their pace says nothing about steady state.
+        kind = ("compiles still interleaving" if "warmup" in last
+                else "slow ticks" if pace > 2 * CHUNK_SEC
                 else "ticks near real time — timeout too short")
         return (f"{kind}: ~{pace*1000:.0f} ms/tick, died at [{last}] "
                 f"with timeout {timeout_s:.0f}s")
@@ -587,6 +590,11 @@ def main():
     best_fl95 = 0.0
     lat_best_s = 0
     lat_best_med = None
+    if single_p50 is not None and single_p50 < 0.100:
+        # The single-stream rung already answers the p50<100 ms question
+        # at S=1 — seed with it so the metric is never 0 when the budget
+        # dies before the (cold-compile-heavy) latency ladder lands.
+        lat_best_s, lat_best_med = 1, single_p50
     results = []
 
     def remaining() -> float:
@@ -606,7 +614,21 @@ def main():
         got = _rung_subprocess(s, churn_period,
                                timeout_s=min(remaining(), timeout_cap))
         if got is None:
-            return None
+            # A timeout that died in WARMUP is a cold-compile story: the
+            # programs it DID compile persist in the on-disk cache, so one
+            # retry usually sails through warmup and measures steady state
+            # (round 4: the first S=512 rung died at warmup tick 20/68 and
+            # its retry passed with 6 minutes to spare).
+            last = _FAILURES[-1] if _FAILURES else {}
+            compiled_out = (last.get("streams") == s
+                            and ("warmup" in last.get("why", "")
+                                 or "compile" in last.get("why", "")))
+            if compiled_out and remaining() > 180:
+                got = _rung_subprocess(s, churn_period,
+                                       timeout_s=min(remaining(),
+                                                     timeout_cap))
+            if got is None:
+                return None
         if flops_tick_stream is None:
             flops_tick_stream = got.get("flops_tick_stream")
         if rt_gate and CHUNK_SEC <= got["mean"] < 1.3 * CHUNK_SEC \
