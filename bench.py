@@ -535,8 +535,12 @@ def main():
         # compile cache — anchor there. 768 timed out with no diagnosis in
         # r03; it runs LAST as a stretch rung (larger per-rung timeout,
         # whatever budget remains) so both headline metrics bank first.
-        climb = [512, 640]
-        stretch = [768]
+        # Round-4 (2026-08-19) measured 512 @ RTF 0.58, 640 @ 0.74 and the
+        # former stretch rung 768 @ 0.836 — promote 768 into the climb and
+        # stretch to 896 (extrapolates to RTF ~0.97: a coin flip worth one
+        # late rung, never the banked result).
+        climb = [512, 640, 768]
+        stretch = [896]
         # Fallback re-tries the anchor first: a transient relay stall can
         # kill the anchor rung's subprocess (RUNG_TIMEOUT_S) even though
         # the rung itself is known-good — give it a second chance on a
@@ -546,9 +550,11 @@ def main():
         # whose MEDIAN tick stays under 100 ms (p50 chunk latency), not
         # just under the 512 ms real-time bound. Climb stops at the first
         # rung over 100 ms; the fallback probes smaller if the first rung
-        # already misses.
-        lat_climb = [192, 256, 320]
-        lat_fallback = [128, 96]
+        # already misses. S=192 measured 127 ms twice (r03 full run, r04
+        # bench_r4b) and the per-tick cost model (fixed ~32 ms + ~0.5 ms
+        # per stream) puts the boundary right at 128 — start there.
+        lat_climb = [128, 160]
+        lat_fallback = [96]
         churn_period = CHURN_PERIOD
 
     # Accelerator path: the parent NEVER touches the device (no model
@@ -735,7 +741,10 @@ def main():
             break
         bank_lat(s, med)
         print(result_json(), flush=True)
-    if not lat_best_s:
+    if lat_best_s <= 1:
+        # <=1, not falsy: the S=1 seed above must not satisfy the metric —
+        # it blocked the 128/96 fallback entirely in the first r04 run
+        # (value_p50_100ms banked as 1 while S=128 was never measured).
         for s in lat_fallback:
             got = try_rung(s, rt_gate=False)
             if got is None:
