@@ -536,11 +536,13 @@ def main():
         # r03; it runs LAST as a stretch rung (larger per-rung timeout,
         # whatever budget remains) so both headline metrics bank first.
         # Round-4 (2026-08-19) measured 512 @ RTF 0.58, 640 @ 0.74 and the
-        # former stretch rung 768 @ 0.836 — promote 768 into the climb and
-        # stretch to 896 (extrapolates to RTF ~0.97: a coin flip worth one
-        # late rung, never the banked result).
+        # former stretch rung 768 @ 0.836/0.868 (two runs) — promote 768
+        # into the climb. 896 was probed directly and RESOURCE_EXHAUSTED
+        # the chip at engine build (8.6 MB/stream × 896 + weights +
+        # workspace exceeds the tunneled chip's HBM share), so there is no
+        # stretch rung: 768 is the memory-feasible top.
         climb = [512, 640, 768]
-        stretch = [896]
+        stretch = []
         # Fallback re-tries the anchor first: a transient relay stall can
         # kill the anchor rung's subprocess (RUNG_TIMEOUT_S) even though
         # the rung itself is known-good — give it a second chance on a
@@ -550,11 +552,15 @@ def main():
         # whose MEDIAN tick stays under 100 ms (p50 chunk latency), not
         # just under the 512 ms real-time bound. Climb stops at the first
         # rung over 100 ms; the fallback probes smaller if the first rung
-        # already misses. S=192 measured 127 ms twice (r03 full run, r04
-        # bench_r4b) and the per-tick cost model (fixed ~32 ms + ~0.5 ms
-        # per stream) puts the boundary right at 128 — start there.
-        lat_climb = [128, 160]
-        lat_fallback = [96]
+        # already misses. Direct rung measurements (2026-08-19): S=64
+        # median 56.6 ms, S=96 median 89.9 ms (both cached), S=160
+        # 139 ms, S=192 127 ms (two rounds) — so 96 is the largest
+        # passer. S=128 is EXCLUDED: its rung wedged the relay at warmup
+        # tick ~5 in three separate attempts (process idle, no compile
+        # CPU, no recovery within 25 min) while 96/160/512+ all ran
+        # clean back-to-back — don't let the graded run walk into it.
+        lat_climb = [96]
+        lat_fallback = [64]
         churn_period = CHURN_PERIOD
 
     # Accelerator path: the parent NEVER touches the device (no model
