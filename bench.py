@@ -72,7 +72,12 @@ TIMED_TICKS = 24
 # 2400 s budget + 5-rung climb overran the driver's window (rc=124, only
 # the best-so-far emission survived); the ladder now starts at the proven
 # rung and the budget is enforced before every rung, including the first.
-TIME_BUDGET_S = 1200.0
+# Every rung's subprocess timeout is min(remaining, cap), so total wall
+# stays ~= this budget. 1200 s fit only 4 warm rungs (a warm rung is
+# ~5 min wall, relay-dominated) and starved the S=96 latency rung;
+# round 3 survived ~28 min of driver window, so 1500 s keeps >3 min of
+# safety margin while fitting the full 5-rung ladder.
+TIME_BUDGET_S = 1500.0
 # Per-rung subprocess cap. The tunneled chip occasionally stalls for
 # MINUTES (observed: jax.devices() blocking >20 min during a relay
 # outage); without a per-rung cap one stalled rung eats the whole
