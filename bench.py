@@ -162,6 +162,34 @@ def measure(model, n_streams: int, beam: int,
               file=sys.stderr, flush=True)
 
     prog("building engine")
+    # Relay-wedge watchdog: the tunneled chip intermittently WEDGES a
+    # device call — the process goes idle (no compile CPU, no progress)
+    # and never recovers (observed 2026-08-19: S=1/128/512 rungs stuck at
+    # warmup tick ~4 for 25+ min while identical rungs ran clean minutes
+    # before/after). A wedged rung otherwise burns its whole subprocess
+    # timeout; this thread hard-exits after WEDGE_S with no COMPLETED
+    # tick, so the parent can diagnose + retry with the budget it saved.
+    # WEDGE_S must exceed any single legitimate stall inside one tick:
+    # the longest observed cold-compile tick is ~22 s (r4b S=512 warmup)
+    # and a single XLA compile is < ~60 s — 240 s is 10x the longest
+    # observed compile tick, and also
+    # covers the engine build + first-tick weight upload (watchdog arms
+    # only once tick 0 completes).
+    import threading
+
+    wedge_s = float(os.environ.get("SC_TPU_WEDGE_S", "240"))
+    last_tick_done = [None]  # None until tick 0 completes
+
+    def _watchdog():
+        while True:
+            time.sleep(10.0)
+            t_last = last_tick_done[0]
+            if t_last is not None and time.perf_counter() - t_last > wedge_s:
+                prog(f"WEDGE: no tick completed in {wedge_s:.0f}s "
+                     f"(device call stuck, process idle) — aborting rung")
+                os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
     engine = StreamingEngine(
         model, n_slots=n_streams, beam_size=beam, chunk_samples=CHUNK
     )
@@ -258,6 +286,7 @@ def measure(model, n_streams: int, beam: int,
                 age[s2] = 0
                 next_final[s2] = churn_period
         dt = time.perf_counter() - t0
+        last_tick_done[0] = time.perf_counter()  # feed the wedge watchdog
         if i >= warmup:
             lat.append(dt)
     if churn:
@@ -478,7 +507,7 @@ def _rung_subprocess(n_streams: int, churn_period: int, timeout_s: float):
     # notice: OOMs carry their byte counts a few lines up.
     info = [l for l in lines if any(
         k in l for k in ("RESOURCE_EXHAUSTED", "Out of memory", "OOM",
-                         "Error", "error", "Exception"))][-4:]
+                         "WEDGE", "Error", "error", "Exception"))][-4:]
     print(f"# S={n_streams} failed: {info or lines[-1:]}", file=sys.stderr)
     _FAILURES.append({
         "streams": n_streams,
@@ -586,6 +615,12 @@ def main():
     # change invalidated every cached program).
     got1 = _rung_subprocess(1, 0, timeout_s=RUNG_TIMEOUT_S) \
         if on_accelerator else None
+    if on_accelerator and got1 is None and _FAILURES \
+            and ("WEDGE" in _FAILURES[-1]["why"]
+                 or "warmup" in _FAILURES[-1]["why"]):
+        # One retry on a transient wedge/cold-compile death — the S=1
+        # rung seeds both latency metrics.
+        got1 = _rung_subprocess(1, 0, timeout_s=RUNG_TIMEOUT_S)
     if got1 is None and not on_accelerator:
         try:
             _, med1, _, _, _ = measure(model, 1, beam, churn_period=0)
@@ -637,9 +672,13 @@ def main():
             # (round 4: the first S=512 rung died at warmup tick 20/68 and
             # its retry passed with 6 minutes to spare).
             last = _FAILURES[-1] if _FAILURES else {}
+            # Retry-worthy deaths: cold-compile timeouts (the programs it
+            # DID compile persist in the on-disk cache) and relay wedges
+            # (transient — identical rungs ran clean minutes apart).
             compiled_out = (last.get("streams") == s
                             and ("warmup" in last.get("why", "")
-                                 or "compile" in last.get("why", "")))
+                                 or "compile" in last.get("why", "")
+                                 or "WEDGE" in last.get("why", "")))
             if compiled_out and remaining() > 180:
                 got = _rung_subprocess(s, churn_period,
                                        timeout_s=min(remaining(),
