@@ -164,28 +164,45 @@ def measure(model, n_streams: int, beam: int,
     prog("building engine")
     # Relay-wedge watchdog: the tunneled chip intermittently WEDGES a
     # device call — the process goes idle (no compile CPU, no progress)
-    # and never recovers (observed 2026-08-19: S=1/128/512 rungs stuck at
-    # warmup tick ~4 for 25+ min while identical rungs ran clean minutes
-    # before/after). A wedged rung otherwise burns its whole subprocess
-    # timeout; this thread hard-exits after WEDGE_S with no COMPLETED
-    # tick, so the parent can diagnose + retry with the budget it saved.
-    # WEDGE_S must exceed any single legitimate stall inside one tick:
-    # the longest observed cold-compile tick is ~22 s (r4b S=512 warmup)
-    # and a single XLA compile is < ~60 s — 240 s is 10x the longest
-    # observed compile tick, and also
-    # covers the engine build + first-tick weight upload (watchdog arms
-    # only once tick 0 completes).
+    # and never recovers on its own inside a rung timeout (observed
+    # 2026-08-19: S=1/128/512 rungs stuck at warmup tick ~4 — the first
+    # drain-program dispatch — for 17+ min while identical warm rungs ran
+    # clean minutes before/after). A wedged rung otherwise burns its
+    # whole subprocess timeout; this thread hard-exits once the process
+    # has made no progress for WEDGE_S, so the parent can diagnose +
+    # retry with the budget it saved.
+    #
+    # "Progress" is a completed tick OR host CPU time advancing: XLA
+    # compiles are host-CPU-bound, so a cold rung legitimately sits
+    # between tick markers for minutes at ~100% CPU (S=96 first drain
+    # compile: 290 s), while a true wedge is an epoll-idle wait on the
+    # relay (~0% CPU). Gating the abort on CPU duty < 10% lets WEDGE_S
+    # drop to 120 s — half the budget per wedge of the round-4 fixed
+    # 240 s threshold — without ever killing an actively-compiling rung.
+    import resource
     import threading
 
-    wedge_s = float(os.environ.get("SC_TPU_WEDGE_S", "240"))
-    last_tick_done = [None]  # None until tick 0 completes
+    def _cpu_s() -> float:
+        ru = resource.getrusage(resource.RUSAGE_SELF)
+        return ru.ru_utime + ru.ru_stime
+
+    wedge_s = float(os.environ.get("SC_TPU_WEDGE_S", "120"))
+    # (wall, cpu) at the last observed progress point; armed from the
+    # start so a wedge during engine build / weight upload also aborts
+    # (the synth + build phases keep CPU busy enough to slide the point).
+    last_prog = [time.perf_counter(), _cpu_s()]
 
     def _watchdog():
         while True:
             time.sleep(10.0)
-            t_last = last_tick_done[0]
-            if t_last is not None and time.perf_counter() - t_last > wedge_s:
-                prog(f"WEDGE: no tick completed in {wedge_s:.0f}s "
+            wall_now, cpu_now = time.perf_counter(), _cpu_s()
+            idle = wall_now - last_prog[0]
+            if cpu_now - last_prog[1] > 0.10 * idle:
+                # Host is working (compiling / transcoding) — slide the
+                # progress point instead of counting toward the wedge.
+                last_prog[0], last_prog[1] = wall_now, cpu_now
+            elif idle > wedge_s:
+                prog(f"WEDGE: no progress in {wedge_s:.0f}s "
                      f"(device call stuck, process idle) — aborting rung")
                 os._exit(3)
 
@@ -286,7 +303,8 @@ def measure(model, n_streams: int, beam: int,
                 age[s2] = 0
                 next_final[s2] = churn_period
         dt = time.perf_counter() - t0
-        last_tick_done[0] = time.perf_counter()  # feed the wedge watchdog
+        # Feed the wedge watchdog: a completed tick is definite progress.
+        last_prog[0], last_prog[1] = time.perf_counter(), _cpu_s()
         if i >= warmup:
             lat.append(dt)
     if churn:
@@ -540,6 +558,7 @@ def main():
     if not on_accelerator:
         # Local smoke mode: tiny model + tiny ladder so CI stays fast.
         climb = [2]
+        consolation = []
         stretch = []
         fallback = []
         lat_climb = []
@@ -569,13 +588,17 @@ def main():
         # compile cache — anchor there. 768 timed out with no diagnosis in
         # r03; it runs LAST as a stretch rung (larger per-rung timeout,
         # whatever budget remains) so both headline metrics bank first.
-        # Round-4 (2026-08-19) measured 512 @ RTF 0.58, 640 @ 0.74 and the
-        # former stretch rung 768 @ 0.836/0.868 (two runs) — promote 768
-        # into the climb. 896 was probed directly and RESOURCE_EXHAUSTED
-        # the chip at engine build (8.6 MB/stream × 896 + weights +
-        # workspace exceeds the tunneled chip's HBM share), so there is no
-        # stretch rung: 768 is the memory-feasible top.
-        climb = [512, 640, 768]
+        # Round-4 (2026-08-19) measured 512 @ RTF 0.55-0.65, 640 @
+        # 0.73-0.75 and 768 @ 0.836/0.868/0.917 (three full-ladder runs).
+        # 896 was probed directly and RESOURCE_EXHAUSTED the chip at
+        # engine build (8.6 MB/stream × 896 + weights + workspace exceeds
+        # the tunneled chip's HBM share), so 768 is the memory-feasible
+        # top. The climb SKIPS 640: with 768 passing consistently warm,
+        # the 640 rung adds ~300 s of wall for no headline movement —
+        # on a wedge-heavy relay day that 300 s is the difference between
+        # banking 768 and not. 640 runs as consolation only if 768 fails.
+        climb = [512, 768]
+        consolation = [640]
         stretch = []
         # Fallback re-tries the anchor first: a transient relay stall can
         # kill the anchor rung's subprocess (RUNG_TIMEOUT_S) even though
@@ -606,34 +629,19 @@ def main():
     model = None if on_accelerator else _build_model(False)
 
     start = time.time()
-    # Second BASELINE target: single-stream p50 chunk latency (< 100 ms).
-    # Runs in a BOUNDED subprocess like every rung: when the relay is
-    # stalled, an in-parent device call blocks forever and the whole
-    # bench dies with rc=124 and zero output (observed in round 3).
-    # Full rung timeout: a cold compile cache costs the S=1 rung ~4.5 min
-    # before its first timed tick (measured after the round-4 decoder
-    # change invalidated every cached program).
-    got1 = _rung_subprocess(1, 0, timeout_s=RUNG_TIMEOUT_S) \
-        if on_accelerator else None
-    if on_accelerator and got1 is None and _FAILURES \
-            and ("WEDGE" in _FAILURES[-1]["why"]
-                 or "warmup" in _FAILURES[-1]["why"]):
-        # One retry on a transient wedge/cold-compile death — the S=1
-        # rung seeds both latency metrics.
-        got1 = _rung_subprocess(1, 0, timeout_s=RUNG_TIMEOUT_S)
-    if got1 is None and not on_accelerator:
+    single_p50 = None
+    if not on_accelerator:
+        # CPU smoke: single-stream latency measured in-parent.
         try:
-            _, med1, _, _, _ = measure(model, 1, beam, churn_period=0)
-            got1 = {"median": med1}
+            _, single_p50, _, _, _ = measure(model, 1, beam,
+                                             churn_period=0)
         except Exception:
-            got1 = None
-    single_p50 = got1.get("median") if got1 else None
+            single_p50 = None
     if single_p50 is not None:
         print(f"# S=1: p50 tick {single_p50*1000:.1f} ms", file=sys.stderr)
     flops_tick_stream = (
         analytic_flops_per_tick_per_stream(model, beam)
-        if model is not None
-        else (got1 or {}).get("flops_tick_stream")
+        if model is not None else None
     )
     best_s = 0
     best_p50 = None
@@ -643,9 +651,8 @@ def main():
     lat_best_s = 0
     lat_best_med = None
     if single_p50 is not None and single_p50 < 0.100:
-        # The single-stream rung already answers the p50<100 ms question
-        # at S=1 — seed with it so the metric is never 0 when the budget
-        # dies before the (cold-compile-heavy) latency ladder lands.
+        # (CPU smoke path) the single-stream run already answers the
+        # p50<100 ms question at S=1.
         lat_best_s, lat_best_med = 1, single_p50
     results = []
 
@@ -661,7 +668,11 @@ def main():
         the driver window); best-so-far emission still banks partial
         ladders."""
         nonlocal flops_tick_stream
-        if remaining() < 120:
+        if remaining() < 150:
+            # Below a warm rung's realistic wall (engine build + cached-
+            # executable loads + 68 ticks ≈ 150-300 s) the attempt is
+            # doomed — don't burn the tail of the budget on it (the first
+            # r04 run spent its last 122 s on an unwinnable S=96 rung).
             return None
         got = _rung_subprocess(s, churn_period,
                                timeout_s=min(remaining(), timeout_cap))
@@ -719,7 +730,7 @@ def main():
             "p95_iter_ms": round((best_p95 or 0.0) * 1e3, 1),
             # Per-final end-to-end latency (utterance end → flushed final
             # text = wait-for-flush + batched drain) under the burst
-            # schedule — the honest client-visible cost of FINAL_FLUSH=4.
+            # schedule — the honest client-visible cost of FINAL_FLUSH.
             # Context: finalization itself is triggered by a ~6-chunk
             # partial-plateau window, so this adds a bounded fraction on
             # top of an inherently multi-second endpointing delay.
@@ -784,9 +795,38 @@ def main():
                     print(result_json(), flush=True)
                     break
 
+    def run_single():
+        """S=1 rung: seeds the single-stream p50 metric (cheap, ~80 s
+        warm). Runs AFTER both north-star metrics bank — a wedged S=1 at
+        the front of the ladder cost the first r04 run ~320 s before any
+        graded number existed."""
+        nonlocal single_p50
+        if single_p50 is not None or remaining() < 150:
+            return  # CPU smoke already measured it in-parent
+        got1 = _rung_subprocess(1, 0, timeout_s=min(remaining(), 300.0))
+        if got1 is None and _FAILURES \
+                and ("WEDGE" in _FAILURES[-1]["why"]
+                     or "warmup" in _FAILURES[-1]["why"]) \
+                and remaining() > 200:
+            got1 = _rung_subprocess(1, 0,
+                                    timeout_s=min(remaining(), 300.0))
+        if got1 is not None:
+            single_p50 = got1.get("median")
+            print(f"# S=1: p50 tick {single_p50*1000:.1f} ms",
+                  file=sys.stderr)
+            bank_lat(1, single_p50)
+
     climb_ok = True
     for i, s in enumerate(climb):
         got = try_rung(s)
+        if got is None and i == 0 and _FAILURES \
+                and "WEDGE" in _FAILURES[-1].get("why", "") \
+                and remaining() > 500:
+            # The anchor is known-good warm; relay wedges come in bursts
+            # (three in one r04 run) — with the CPU-aware watchdog a
+            # wedge costs ~140 s, so a second round of attempts is cheap
+            # insurance for the metric everything else builds on.
+            got = try_rung(s)
         if got is None:
             climb_ok = False
             break  # climbing stops at the first failing rung
@@ -801,8 +841,10 @@ def main():
             # with the primary metric's floor (the anchor rung) banked,
             # the cheap ~3-min latency rung runs NEXT — two r04 runs in a
             # row lost it by running it last, behind climb rungs that hit
-            # a degrading relay and ate the rest of the budget.
+            # a degrading relay and ate the rest of the budget. S=1
+            # follows for the single-stream metric.
             run_lat_ladder()
+            run_single()
     if not best_s:
         for s in fallback:
             got = try_rung(s)
@@ -815,6 +857,19 @@ def main():
         # The anchor rung failed outright (run_lat_ladder never fired) —
         # give the latency metric its shot after the fallback banked.
         run_lat_ladder()
+        run_single()
+
+    if not climb_ok and best_s:
+        # The top climb rung failed (768 misses real time on a bad relay
+        # day more often than 512/640 do) — bank the consolation rung so
+        # the ladder still moves past the anchor.
+        for s in [c for c in consolation if c > best_s]:
+            got = try_rung(s)
+            if got is None:
+                break
+            bank(s, got)
+            bank_lat(s, got.get("median", got["mean"]))
+            print(result_json(), flush=True)
 
     # Stretch rung(s): first visit pays cold XLA compiles on top of the
     # run itself, so grant up to the whole remaining budget (capped) —
