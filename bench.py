@@ -143,7 +143,7 @@ def analytic_flops_per_tick_per_stream(model, beam: int) -> float:
 
 
 def measure(model, n_streams: int, beam: int,
-            churn_period: int = CHURN_PERIOD) -> tuple:
+            churn_period: int = CHURN_PERIOD, watchdog: bool = True) -> tuple:
     """(mean, median, p95) iteration latency (seconds) at steady state with
     n_streams active streams; churn_period > 0 adds staggered
     finalize+rejoin every churn_period ticks (batched via
@@ -206,7 +206,14 @@ def measure(model, n_streams: int, beam: int,
                      f"(device call stuck, process idle) — aborting rung")
                 os._exit(3)
 
-    threading.Thread(target=_watchdog, daemon=True).start()
+    if watchdog:
+        # Armed ONLY in --rung subprocesses (where os._exit(3) is the
+        # contract with the parent's retry logic). The CPU-smoke path
+        # calls measure() in the PARENT, which afterwards sits
+        # legitimately idle in subprocess.run waiting on child rungs — a
+        # leaked armed watchdog would os._exit the whole bench from that
+        # wait and eat the final result JSON.
+        threading.Thread(target=_watchdog, daemon=True).start()
     engine = StreamingEngine(
         model, n_slots=n_streams, beam_size=beam, chunk_samples=CHUNK
     )
@@ -472,7 +479,10 @@ def _diagnose_timeout(stderr: str, n_streams: int, timeout_s: float) -> str:
             el = float(l.rsplit("t=", 1)[1].rstrip("s"))
             return tick, el
 
-        (t0, e0), (t1, e1) = parse(ticky[0]), parse(ticky[-1])
+        # Last TWO markers: pace over the whole run would fold warmup's
+        # cold compiles into the estimate and misreport a timed-phase
+        # death as "slow ticks" when steady state was near real time.
+        (t0, e0), (t1, e1) = parse(ticky[-2]), parse(ticky[-1])
         pace = (e1 - e0) / max(t1 - t0, 1)
         # A death during WARMUP is a compile story whatever the pace —
         # warmup ticks pay every first-visit XLA compile (minutes each
@@ -559,7 +569,6 @@ def main():
         # Local smoke mode: tiny model + tiny ladder so CI stays fast.
         climb = [2]
         consolation = []
-        stretch = []
         fallback = []
         lat_climb = []
         lat_fallback = []
@@ -585,9 +594,7 @@ def main():
         # larger rungs cover more ground inside the time budget).
         # 512 and 640 both passed in the round-3 DRIVER run (BENCH_r03:
         # RTF 0.48 / 0.66) and their programs sit in the persistent
-        # compile cache — anchor there. 768 timed out with no diagnosis in
-        # r03; it runs LAST as a stretch rung (larger per-rung timeout,
-        # whatever budget remains) so both headline metrics bank first.
+        # compile cache — anchor there.
         # Round-4 (2026-08-19) measured 512 @ RTF 0.55-0.65, 640 @
         # 0.73-0.75 and 768 @ 0.836/0.868/0.917 (three full-ladder runs).
         # 896 was probed directly and RESOURCE_EXHAUSTED the chip at
@@ -599,7 +606,6 @@ def main():
         # banking 768 and not. 640 runs as consolation only if 768 fails.
         climb = [512, 768]
         consolation = [640]
-        stretch = []
         # Fallback re-tries the anchor first: a transient relay stall can
         # kill the anchor rung's subprocess (RUNG_TIMEOUT_S) even though
         # the rung itself is known-good — give it a second chance on a
@@ -634,7 +640,8 @@ def main():
         # CPU smoke: single-stream latency measured in-parent.
         try:
             _, single_p50, _, _, _ = measure(model, 1, beam,
-                                             churn_period=0)
+                                             churn_period=0,
+                                             watchdog=False)
         except Exception:
             single_p50 = None
     if single_p50 is not None:
@@ -691,6 +698,13 @@ def main():
                                  or "compile" in last.get("why", "")
                                  or "WEDGE" in last.get("why", "")))
             if compiled_out and remaining() > 180:
+                if "WEDGE" in last.get("why", "") and remaining() > 450:
+                    # An aborted wedge can leave the relay sick for a
+                    # while (2026-08-19 burst: immediate retries
+                    # re-wedged 3× in a row at the same tick while
+                    # spaced attempts passed) — a short cool-down costs
+                    # 45 s against a ~150 s re-wedge.
+                    time.sleep(45.0)
                 got = _rung_subprocess(s, churn_period,
                                        timeout_s=min(remaining(),
                                                      timeout_cap))
@@ -768,9 +782,12 @@ def main():
         if med < 0.100 and s > lat_best_s:
             lat_best_s, lat_best_med = s, med
 
+    lat_attempted = [False]
+
     def run_lat_ladder():
         """Latency-constrained ladder (median < 100 ms): climb until a rung
         misses; if nothing banked beyond the S=1 seed, probe the fallback."""
+        lat_attempted[0] = True
         for s in [r for r in lat_climb if r > lat_best_s]:
             got = try_rung(s, rt_gate=False)
             if got is None:
@@ -853,9 +870,12 @@ def main():
                 bank_lat(s, got.get("median", got["mean"]))
                 print(result_json(), flush=True)
                 break
-    if lat_best_s <= 1:
+    if not lat_attempted[0]:
         # The anchor rung failed outright (run_lat_ladder never fired) —
         # give the latency metric its shot after the fallback banked.
+        # Gated on "never fired", NOT on lat_best_s: re-running a ladder
+        # that already measured-and-missed would duplicate 150-300 s
+        # rungs for the same misses.
         run_lat_ladder()
         run_single()
 
@@ -865,19 +885,6 @@ def main():
         # the ladder still moves past the anchor.
         for s in [c for c in consolation if c > best_s]:
             got = try_rung(s)
-            if got is None:
-                break
-            bank(s, got)
-            bank_lat(s, got.get("median", got["mean"]))
-            print(result_json(), flush=True)
-
-    # Stretch rung(s): first visit pays cold XLA compiles on top of the
-    # run itself, so grant up to the whole remaining budget (capped) —
-    # and if it still dies, _FAILURES carries the marker-based diagnosis
-    # instead of r03's bare "timed out".
-    if climb_ok and best_s:
-        for s in stretch:
-            got = try_rung(s, timeout_cap=900.0)
             if got is None:
                 break
             bank(s, got)

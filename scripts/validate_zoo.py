@@ -88,7 +88,7 @@ def decode(tag: str, audio: Path, cache_dir: Path, beam_size: int,
     dtype is a Speech2TextStreaming precision mode (float32 | bfloat16 |
     int8 | int8-all — see streaming.py). mulaw_wire additionally
     round-trips the audio through the serving wire codec
-    (serve/wire.py::mulaw_encode_f32 → mulaw_decode), which is
+    (serve/wire.py::mulaw_encode_i16 → mulaw_decode), which is
     bit-identical to what the batched engine's uint8 ingest computes on
     device (tests/test_wire.py) — so its WER impact is measured without a
     websocket in the loop."""
@@ -104,9 +104,15 @@ def decode(tag: str, audio: Path, cache_dir: Path, beam_size: int,
         sys.exit(2)
     data, rate = convert_media(str(audio))
     if mulaw_wire:
-        from speechcatcher_tpu.serve.wire import mulaw_decode, mulaw_encode_f32
+        from speechcatcher_tpu.serve.wire import mulaw_decode, mulaw_encode_i16
 
-        data = mulaw_decode(mulaw_encode_f32(np.asarray(data, np.float32)))
+        # convert_media returns INT16-scale samples and recognize()
+        # divides by 32767 — so encode with the int16 codec and rescale
+        # the [-1, 1] decode back to int16 scale. (Encoding the raw int16
+        # values with mulaw_encode_f32 would clip every |s| >= 1 to ±1 —
+        # a sign square wave — and the /32767 inside recognize would then
+        # shrink the decode to near-silence.)
+        data = mulaw_decode(mulaw_encode_i16(data)) * np.float32(32767.0)
     text, _ = recognize(s2t, data, rate, progress=True, quiet=True)
     return text.strip()
 

@@ -1,0 +1,31 @@
+#!/bin/bash
+# Warm the persistent XLA compile cache for every rung the graded bench
+# ladder visits, so the driver's end-of-round run never pays cold
+# compiles (memory: a cold first visit costs minutes/rung; warm ~1-3).
+# Each rung runs in a fresh interpreter exactly like the ladder does;
+# a relay-wedged attempt self-aborts in ~130 s (bench.py watchdog) and
+# is retried. Usage: scripts/warm_bench_rungs.sh [out_dir]
+set -u
+OUT=${1:-/tmp/warm_r4}
+mkdir -p "$OUT"
+cd "$(dirname "$0")/.."
+for spec in 512:32 96:32 1:0 768:32 640:32 64:32; do
+  S=${spec%%:*}; CHURN=${spec##*:}
+  for attempt in 1 2 3; do
+    log="$OUT/rung${S}_a${attempt}.log"
+    echo "=== rung $S churn $CHURN attempt $attempt $(date -u +%H:%M:%S) ==="
+    timeout 900 python bench.py --rung "$S" --churn "$CHURN" \
+      >"$log" 2>&1
+    rc=$?
+    echo "rc=$rc" >>"$log"
+    if [ $rc -eq 0 ]; then
+      tail -1 "$log"
+      break
+    fi
+    echo "rung $S attempt $attempt failed rc=$rc ($(tail -2 "$log" | head -1))"
+    # Cool-down: an aborted wedge can leave the relay sick; immediate
+    # retries re-wedged 3x in a row (2026-08-19) while spaced ones passed.
+    sleep 60
+  done
+done
+echo "WARM SEQUENCE DONE $(date -u +%H:%M:%S)"

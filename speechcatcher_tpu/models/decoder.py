@@ -329,7 +329,14 @@ def _attend_cross_commuted(
                      preferred_element_type=jnp.float32)
     bias = p_attn["linear_v"].get("bias")
     if bias is not None:
-        out = out + bias.astype(jnp.float32).reshape(n_head, dk)
+        # Σw = 1 only when the stream HAS visible frames; on an
+        # all-invalid row (a padded/just-reset lane in the fixed-shape
+        # batch) the weights were zeroed above, so the deferred b_v must
+        # be suppressed to keep the equivalence with
+        # _attend_cross_blocked (which returns exactly 0 there).
+        has_mem = valid.any(axis=-1)[:, None, None, None]  # (S,1,1,1)
+        out = out + jnp.where(
+            has_mem, bias.astype(jnp.float32).reshape(n_head, dk), 0.0)
     return out.reshape(n, d)
 
 
@@ -343,11 +350,13 @@ def _attend_cross_blocked(
     n_head: int,
 ) -> jnp.ndarray:
     """Cross-attention over explicitly projected K/V (the textbook
-    formulation). No longer on the hot path — decoder_step uses
-    _attend_cross_commuted — but kept as the independent baseline the
-    commute is verified against (tests/test_decoder.py) and as the
-    shape-reference for anyone re-deriving the algebra. All B beam
-    hypotheses of a stream share its memory K/V."""
+    formulation). This IS the hot path under the default
+    SC_TPU_CROSS=remat: decoder_step projects each layer's K/V from the
+    raw encoder ring and calls this (XLA hoists the loop-invariant
+    projection out of the beam-step loop — see _CROSS_IMPL). It doubles
+    as the independent baseline the commuted A/B form is verified
+    against (tests/test_decoder.py). All B beam hypotheses of a stream
+    share its memory K/V."""
     s, t, d = mk.shape
     n = q.shape[0]
     b = n // s
@@ -441,13 +450,15 @@ def decoder_step(
             beam, cfg.decoder_heads,
         )
         h = residual + linear(p_layer["self_attn"]["linear_out"], att)
-        # Cross-attention directly on the shared raw frames (commuted K/V).
+        # Cross-attention on the shared raw encoder frames. Default
+        # (_CROSS_IMPL="remat"): rematerialize this layer's K/V from the
+        # ring — loop-invariant, so XLA hoists the projections out of the
+        # beam-step while_loop (measured faster at scale than the
+        # commuted form; see _CROSS_IMPL).
         residual = h
         hn = layer_norm(p_layer["norm2"], h)
         q = linear(p_layer["src_attn"]["linear_q"], hn)
         if _CROSS_IMPL == "remat":
-            # A/B escape hatch (SC_TPU_CROSS=remat): per-layer K/V
-            # rematerialization, the round-3 formulation.
             mk_l = linear(p_layer["src_attn"]["linear_k"],
                           mem_s).astype(cache_dt)
             mv_l = linear(p_layer["src_attn"]["linear_v"],
@@ -455,6 +466,9 @@ def decoder_step(
             att = _attend_cross_blocked(q, mk_l, mv_l, mem_valid,
                                         cfg.decoder_heads)
         else:
+            # A/B control (SC_TPU_CROSS=commuted): K/V folded onto the
+            # query/output side — no hoisted GEMMs, but d-contraction
+            # einsums on every step.
             att = _attend_cross_commuted(q, mem_s, p_layer["src_attn"],
                                          mem_valid, cfg.decoder_heads)
         h = residual + linear(p_layer["src_attn"]["linear_out"], att)

@@ -140,8 +140,9 @@ def test_incremental_step_parity_with_reorder(setup):
 
 def test_cross_commuted_equals_blocked():
     """The commuted cross-attention (fold W_k into the query, defer W_v
-    onto the weighted sum — decoder_step's hot path) must match the
-    textbook formulation (project K/V explicitly) on the same inputs."""
+    onto the weighted sum — the SC_TPU_CROSS=commuted A/B control) must
+    match the textbook formulation (project K/V explicitly — the default
+    remat hot path) on the same inputs."""
     from speechcatcher_tpu.models.decoder import (
         _attend_cross_blocked,
         _attend_cross_commuted,
@@ -155,7 +156,14 @@ def test_cross_commuted_equals_blocked():
     p_attn = init_mha(jax.random.PRNGKey(0), d)
     q = jnp.asarray(rng.randn(s * b, d).astype(np.float32))
     mem = jnp.asarray(rng.randn(s, t, d).astype(np.float32))
-    valid = jnp.asarray(np.arange(t)[None, :] < np.array([[11], [7]]))
+    # Stream 2 has ZERO visible frames (a padded/just-reset lane in the
+    # fixed-shape batch): both formulations must return exactly 0 there —
+    # the commute's Σw=1 assumption that lets b_v defer does not hold on
+    # an all-masked row, so the bias must be suppressed.
+    valid = jnp.asarray(np.arange(t)[None, :] < np.array([[11], [7], [0]]))
+    s = valid.shape[0]
+    q = jnp.asarray(rng.randn(s * b, d).astype(np.float32))
+    mem = jnp.asarray(rng.randn(s, t, d).astype(np.float32))
 
     mk = linear(p_attn["linear_k"], mem)
     mv = linear(p_attn["linear_v"], mem)
@@ -163,6 +171,8 @@ def test_cross_commuted_equals_blocked():
     got = _attend_cross_commuted(q, mem, p_attn, valid, h)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+    np.testing.assert_array_equal(
+        np.asarray(got).reshape(s, b, d)[2], 0.0)
 
 
 def test_bf16_cache_dtype_drift(setup):
