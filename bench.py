@@ -75,9 +75,12 @@ TIMED_TICKS = 24
 # Every rung's subprocess timeout is min(remaining, cap), so total wall
 # stays ~= this budget. 1200 s fit only 4 warm rungs (a warm rung is
 # ~5 min wall, relay-dominated) and starved the S=96 latency rung;
-# round 3 survived ~28 min of driver window, so 1500 s keeps >3 min of
-# safety margin while fitting the full 5-rung ladder.
-TIME_BUDGET_S = 1500.0
+# round 3 survived ~28 min (1680 s) of driver window. 1620 s leaves room
+# for one extra wedge-retry cycle during a relay wedge burst (observed
+# 2026-08-19: ~70% of rung starts wedged for an hour) — and even if the
+# driver kills an overrun, every banked result was already emitted as a
+# parseable line, so the run degrades to best-so-far, not to nothing.
+TIME_BUDGET_S = 1620.0
 # Per-rung subprocess cap. The tunneled chip occasionally stalls for
 # MINUTES (observed: jax.devices() blocking >20 min during a relay
 # outage); without a per-rung cap one stalled rung eats the whole
