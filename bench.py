@@ -670,13 +670,15 @@ def main():
         return TIME_BUDGET_S - (time.time() - start)
 
     def try_rung(s: int, timeout_cap: float = RUNG_TIMEOUT_S,
-                 rt_gate: bool = True) -> Optional[dict]:
+                 rt_gate: bool = True, retry: bool = True) -> Optional[dict]:
         """Measure rung s (with one near-miss retry); returns the stats
         dict — or None when the rung failed outright or (rt_gate) missed
         real time. The budget is enforced for EVERY rung including the
         first (round 2's unbounded first rung contributed to overrunning
         the driver window); best-so-far emission still banks partial
-        ladders."""
+        ladders. retry=False disables the wedge/cold-compile retry: right
+        for a rung with a cheaper substitute waiting (the latency ladder
+        falls through to S=64), wrong for a rung nothing else can replace."""
         nonlocal flops_tick_stream
         if remaining() < 150:
             # Below a warm rung's realistic wall (engine build + cached-
@@ -700,7 +702,7 @@ def main():
                             and ("warmup" in last.get("why", "")
                                  or "compile" in last.get("why", "")
                                  or "WEDGE" in last.get("why", "")))
-            if compiled_out and remaining() > 180:
+            if retry and compiled_out and remaining() > 180:
                 if "WEDGE" in last.get("why", "") and remaining() > 450:
                     # An aborted wedge can leave the relay sick for a
                     # while (2026-08-19 burst: immediate retries
@@ -791,8 +793,12 @@ def main():
         """Latency-constrained ladder (median < 100 ms): climb until a rung
         misses; if nothing banked beyond the S=1 seed, probe the fallback."""
         lat_attempted[0] = True
+        # retry=False: S=96 turned wedge-PRONE on 2026-08-19 (5/5 attempts
+        # wedged across two warm passes while 64/512/640 passed around
+        # them) — one failed attempt should fall straight through to the
+        # S=64 fallback instead of burning a second ~150 s wedge.
         for s in [r for r in lat_climb if r > lat_best_s]:
-            got = try_rung(s, rt_gate=False)
+            got = try_rung(s, rt_gate=False, retry=False)
             if got is None:
                 break
             med = got.get("median", got["mean"])
