@@ -624,14 +624,7 @@ def _gather_new_frames(
 # host-side per-slot integer vectors packed into a single (K, S) transfer.
 # ---------------------------------------------------------------------------
 
-@functools.partial(
-    jax.jit, static_argnames=("cfg", "maxb", "n_fft", "hop", "subcap"),
-    # The caller replaces self.buffers with the return value immediately;
-    # donation lets the enc_out ring append run in place (without it XLA
-    # inserts a defensive full-ring copy ahead of the Pallas kernel).
-    donate_argnames=("buffers",),
-)
-def _fused_encode(
+def _encode_impl(
     params,
     pe: jnp.ndarray,
     buffers: EngineBuffers,
@@ -692,6 +685,17 @@ def _fused_encode(
         post=new_post, prev_addin=new_prev, past_ctx=new_past,
         enc_out=new_enc,
     )
+
+
+# One-program-per-tick encode (used when no beam round runs this tick;
+# rounds-carrying ticks go through _fused_tick below instead).
+_fused_encode = functools.partial(
+    jax.jit, static_argnames=("cfg", "maxb", "n_fft", "hop", "subcap"),
+    # The caller replaces self.buffers with the return value immediately;
+    # donation lets the enc_out ring append run in place (without it XLA
+    # inserts a defensive full-ring copy ahead of the Pallas kernel).
+    donate_argnames=("buffers",),
+)(_encode_impl)
 
 
 @functools.partial(
@@ -756,6 +760,117 @@ def _fused_round(
         # ~11 MB/s relay link is ~10 ms of pure readback saved).
         packed = packed.astype(jnp.int16)
     return out, packed
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "maxb", "n_fft", "hop", "subcap", "beam",
+                     "pre_beam", "ctc_weight", "use_bbd", "max_length",
+                     "l_bound", "t_bound", "extcap", "penalty"),
+    # Both big carries are replaced by the caller right after the call:
+    # donation lets the enc_out ring append and the beam-state rebuild run
+    # in place (one transient copy each otherwise).
+    donate_argnames=("buffers", "state"),
+)
+def _fused_tick(
+    params,
+    pe: jnp.ndarray,
+    dec_pe: jnp.ndarray,
+    buffers: EngineBuffers,
+    audio: jnp.ndarray,     # (S, A) float32 / int16 / uint8 mu-law
+    state: BlockDecodeState,
+    ints: jnp.ndarray,      # (18, S) int32: rows 0-13 = _encode_impl's
+                            # packed scalars, 14 = do (streams consuming
+                            # audio this tick), 15 = buf (emitted encoder
+                            # frames AFTER this tick's encode), 16 = vis0
+                            # (visible frames at entry), 17 = pb0
+                            # (processed-block counters) — ONE packed
+                            # transfer; every extra H2D argument pays a
+                            # relay round trip
+    window: jnp.ndarray,
+    mel_fb: jnp.ndarray,
+    mean: jnp.ndarray,
+    inv_std: jnp.ndarray,
+    cfg: ModelConfig,
+    maxb: int,
+    n_fft: int,
+    hop: int,
+    subcap: int,
+    beam: int,
+    pre_beam: int,
+    ctc_weight: float,
+    use_bbd: bool,
+    max_length: int,
+    l_bound: int,
+    t_bound: int,
+    extcap: int,
+    penalty: float = 0.0,
+):
+    """The WHOLE tick — encode + every beam round — as ONE device program.
+
+    The split tick (one _fused_encode + one _fused_round per ready block)
+    paid a program dispatch per round on the relay-attached TPU (~20-30 ms
+    of pure launch latency each; the S=128 latency rung spent more time
+    dispatching than computing). Here the round loop is an outer
+    lax.while_loop — pure index arithmetic, the exact shape _fused_drain
+    already runs — so one dispatch covers the tick regardless of how many
+    blocks became ready. Streams progress independently: each loop
+    iteration steps exactly the streams whose next block boundary
+    (reference beam_search.py:590-634) lies inside the emitted-frame
+    count, replicating the host-driven round sequence.
+
+    Returns (new buffers, new decode state, packed (S, 1+Lmax) readback of
+    [ylen | best yseq] from the last round).
+    """
+    do = ints[14].astype(bool)
+    buf, vis0, pb0 = ints[15], ints[16], ints[17]
+    # Swap the caller's cached stepping placeholder (_false_dev, a REUSED
+    # device constant) for a derived zero BEFORE the loop consumes the
+    # carry: a donated leaf that feeds an output would invalidate the
+    # shared constant for every later call.
+    state = state._replace(stepping=jnp.zeros_like(do))
+
+    buffers = _encode_impl(
+        params, pe, buffers, audio, ints[:14], window, mel_fb, mean,
+        inv_std, cfg, maxb, n_fft, hop, subcap,
+    )
+    enc_out = buffers.enc_out
+    bs, la, hop_b = cfg.block_size, cfg.look_ahead, cfg.hop_size
+    block_final = jnp.zeros_like(do)  # tick path never finalizes a block
+
+    def cond(c):
+        _st, _vis, pb = c
+        return jnp.any(do & (bs - la + hop_b * pb < buf))
+
+    def body(c):
+        st, vis, pb = c
+        cur_end = bs - la + hop_b * pb
+        ready = do & (cur_end < buf)
+        new_vis = jnp.where(ready, jnp.minimum(cur_end, buf), vis)
+        n_ext = jnp.clip(new_vis - vis, 0, extcap)
+        new_frames = _gather_new_frames(enc_out, vis, cfg, extcap)
+        new_logp = ctc_log_softmax(params["ctc"], new_frames)
+        st = st._replace(
+            arrays=st.arrays._replace(
+                ctc=ctc_extend(st.arrays.ctc, new_logp, n_ext)
+            ),
+            stepping=ready,
+        )
+        out = decode_block_device(
+            params, dec_pe, enc_out, st, new_vis, block_final, cfg, beam,
+            pre_beam, ctc_weight, use_bbd, max_length, l_bound=l_bound,
+            t_bound=t_bound, penalty=penalty,
+        )
+        return (out, new_vis, jnp.where(ready, pb + 1, pb))
+
+    st, _vis, _pb = jax.lax.while_loop(cond, body, (state, vis0, pb0))
+    packed = jnp.concatenate(
+        [st.arrays.ylen[:, None], st.arrays.yseq[:, 0, :]], axis=1
+    )
+    if cfg.vocab_size < 2**15 and cfg.max_tokens < 2**15:
+        # int16 halves the per-tick partials D2H (see _fused_round).
+        packed = packed.astype(jnp.int16)
+    return buffers, st, packed
 
 
 @functools.partial(
@@ -1109,6 +1224,11 @@ class StreamingEngine:
         # masks whose real values ride a packed int32 transfer (a fresh
         # jnp.asarray per call would cost one relay round trip each).
         self._false_dev = jnp.zeros(self.S, dtype=bool)
+        # One-program tick (encode + all beam rounds fused; default ON).
+        # SC_TPU_UNFUSED_TICK=1 restores the split per-round programs for
+        # A/B — each extra dispatch costs ~20-30 ms on a relay-attached
+        # TPU, the fixed overhead that capped the p50<100 ms stream count.
+        self._use_fused_tick = not os.environ.get("SC_TPU_UNFUSED_TICK")
 
         # Single-stream finalizer (shares weights; used per final chunk).
         self._finalizer = BlockwiseSynchronousBeamSearch(
@@ -1303,8 +1423,7 @@ class StreamingEngine:
                 self._pending_fresh = None
             self._last_packed[self._stale_partial, 0] = 1
 
-        self._tick_encode(audio_dev, do)
-        packed_dev = self._run_rounds(do)
+        packed_dev = self._tick_device(audio_dev, do)
         if packed_dev is not None:
             # Kick off the D2H copy now; it overlaps the next tick's host
             # prep + H2D instead of blocking inside next tick's np.array.
@@ -1333,8 +1452,25 @@ class StreamingEngine:
             )
         return out
 
+    def _tick_device(self, audio_dev, do: np.ndarray):
+        """Device portion of one tick (encode + beam rounds): audio already
+        device-resident. Returns the packed [ylen | best yseq] device array
+        of the last round (None if no round ran). Default path = ONE fused
+        program; SC_TPU_UNFUSED_TICK=1 restores the split per-round
+        programs for A/B."""
+        bk = self._encode_bookkeeping(do)
+        vis_f, pb_f, n_rounds = self._round_schedule(do, bk["buf_new"])
+        if n_rounds > 0 and self._use_fused_tick:
+            return self._tick_fused(audio_dev, bk, do, vis_f, pb_f)
+        self._dispatch_encode(audio_dev, bk)
+        self._apply_encode_counters(bk)
+        return self._run_rounds(do) if n_rounds > 0 else None
+
     # -- frontend + encoder -------------------------------------------------
-    def _tick_encode(self, audio_batch: np.ndarray, do: np.ndarray):
+    def _encode_bookkeeping(self, do: np.ndarray) -> dict:
+        """All host-side length arithmetic for one tick's encode — pure
+        (no counter mutation), so the fused tick can compute the round
+        schedule from `buf_new` BEFORE anything is dispatched."""
         c = self.c
         cfg = self.cfg
         win, hop = cfg.win_length, cfg.hop_length
@@ -1394,41 +1530,149 @@ class StreamingEngine:
              c.has_prev, c.has_past, c.buf_len, c.npb]
         ).astype(np.int32)
 
+        offset = cfg.block_size - cfg.look_ahead - cfg.hop_size
+        emitted = (
+            np.where(bn > 0,
+                     bn * cfg.hop_size + np.where(c.npb == 0, offset, 0), 0)
+            if maxb_tick > 0 else np.zeros(self.S, dtype=c.buf_len.dtype)
+        )
+        return {
+            "ints": ints, "maxb": maxb_tick, "can": can,
+            "keep_len": keep_len, "n_res_raw": n_res_raw,
+            "post_total": post_total, "bn": bn, "emitted": emitted,
+            "buf_new": c.buf_len + emitted,
+        }
+
+    def _dispatch_encode(self, audio_dev, bk: dict):
+        """Encode-only tick program (no beam round ready this tick)."""
+        cfg = self.cfg
         self.buffers = _fused_encode(
             self.model.params,
             self.model.enc_pe,
             self.buffers,
-            jnp.asarray(audio_batch),
+            audio_dev,
+            jnp.asarray(bk["ints"]),
+            self.model.frontend.window,
+            self.model.frontend.mel_fb,
+            self.model.frontend.mean,
+            self.model.frontend.inv_std,
+            cfg,
+            bk["maxb"],
+            cfg.n_fft,
+            cfg.hop_length,
+            self.SUBCAP,
+        )
+
+    def _apply_encode_counters(self, bk: dict):
+        """Host counter updates for a dispatched encode (bookkeeping from
+        _encode_bookkeeping; must run exactly once per dispatch)."""
+        c = self.c
+        cfg = self.cfg
+        c.wave_len = bk["keep_len"]
+        c.first_wave = np.where(bk["can"], False, c.first_wave)
+        c.raw_len = bk["n_res_raw"]
+        if bk["maxb"] == 0:
+            c.post_len = bk["post_total"]
+            return
+        bn = bk["bn"]
+        c.buf_len = c.buf_len + bk["emitted"]
+        c.post_len = bk["post_total"] - bn * cfg.hop_size
+        c.has_prev = c.has_prev | (bn > 0)
+        c.has_past = c.has_past | (bn > 0)
+        c.npb = c.npb + bn
+
+    # -- beam rounds ---------------------------------------------------------
+    def _round_schedule(self, do: np.ndarray, buf_new: np.ndarray):
+        """Replay of the device round loop's index arithmetic on host:
+        (final vis_len, final processed_block, round count). The fused
+        tick's lax.while_loop and this loop compute the SAME sequence —
+        lengths are data-independent functions of chunk counts, so the
+        host knows the schedule without any device readback."""
+        c = self.c
+        cfg = self.cfg
+        vis = c.vis_len.copy()
+        pb = c.processed_block.copy()
+        n_rounds = 0
+        while True:
+            cur_end = (cfg.block_size - cfg.look_ahead
+                       + cfg.hop_size * pb)
+            ready = do & c.active & (cur_end < buf_new)
+            if not ready.any():
+                break
+            new_vis = np.where(ready, cur_end, vis)
+            assert (new_vis - vis <= self.EXTCAP).all(), \
+                (new_vis - vis, self.EXTCAP)
+            vis = new_vis
+            pb = np.where(ready, pb + 1, pb)
+            n_rounds += 1
+        return vis, pb, n_rounds
+
+    def _tick_fused(self, audio_dev, bk: dict, do: np.ndarray,
+                    vis_final: np.ndarray, pb_final: np.ndarray):
+        """Whole tick (encode + all rounds) as ONE device program."""
+        c = self.c
+        cfg = self.cfg
+        if os.environ.get("SC_TPU_LBOUND_BUCKET"):
+            l_bound = self._bucket(self.ylen_upper + 64, cfg.max_tokens)
+        else:
+            l_bound = cfg.max_tokens
+        t_bound = self._bucket(int(vis_final.max()) + 1, self.ECAP,
+                               floor=128)
+        ints = np.concatenate(
+            [bk["ints"],
+             np.stack([do, bk["buf_new"], c.vis_len, c.processed_block])
+             .astype(np.int32)],
+            axis=0,
+        )
+        dev_state = BlockDecodeState(
+            arrays=self.arrays,
+            prev_arrays=self.prev_arrays,
+            dec_cache=self.dec_cache,
+            prev_valid=self.prev_valid_dev,
+            process_idx=self.process_idx_dev,
+            output_index=self.output_index_dev,
+            # Placeholder (cached device constant, no transfer): the round
+            # loop installs the real per-round stepping mask internally.
+            stepping=self._false_dev,
+        )
+        self.buffers, out, packed = _fused_tick(
+            self.model.params,
+            self.model.enc_pe,
+            self.model.dec_pe,
+            self.buffers,
+            audio_dev,
+            dev_state,
             jnp.asarray(ints),
             self.model.frontend.window,
             self.model.frontend.mel_fb,
             self.model.frontend.mean,
             self.model.frontend.inv_std,
             cfg,
-            maxb_tick,
+            bk["maxb"],
             cfg.n_fft,
-            hop,
+            cfg.hop_length,
             self.SUBCAP,
+            self.beam,
+            self.pre_beam,
+            self.ctc_weight,
+            self.use_bbd,
+            self.max_length,
+            l_bound,
+            t_bound,
+            self.EXTCAP,
+            self.penalty,
         )
+        self.arrays = out.arrays
+        self.prev_arrays = out.prev_arrays
+        self.dec_cache = out.dec_cache
+        self.prev_valid_dev = out.prev_valid
+        self.process_idx_dev = out.process_idx
+        self.output_index_dev = out.output_index
+        self._apply_encode_counters(bk)
+        c.vis_len = vis_final
+        c.processed_block = pb_final
+        return packed
 
-        # Host counter updates.
-        c.wave_len = keep_len
-        c.first_wave = np.where(can, False, c.first_wave)
-        c.raw_len = n_res_raw
-        if maxb_tick == 0:
-            c.post_len = post_total
-            return
-        offset = cfg.block_size - cfg.look_ahead - cfg.hop_size
-        emitted = np.where(
-            bn > 0, bn * cfg.hop_size + np.where(c.npb == 0, offset, 0), 0
-        )
-        c.buf_len = c.buf_len + emitted
-        c.post_len = post_total - bn * cfg.hop_size
-        c.has_prev = c.has_prev | (bn > 0)
-        c.has_past = c.has_past | (bn > 0)
-        c.npb = c.npb + bn
-
-    # -- beam rounds ---------------------------------------------------------
     @staticmethod
     def _bucket(n: int, cap: int, floor: int = 64) -> int:
         b = floor

@@ -214,3 +214,37 @@ def test_engine_bf16_enc_ring_token_parity(model):
     assert outs[1][0].dtype == outs[0][0].dtype
     assert list(map(int, outs[0][0])) == list(map(int, outs[1][0]))
     assert list(map(int, outs[0][1])) == list(map(int, outs[1][1]))
+
+
+def test_fused_tick_matches_unfused(model, monkeypatch):
+    """The one-program tick (_fused_tick: encode + all rounds in a single
+    device program) must be token- and state-identical to the split
+    per-round programs (SC_TPU_UNFUSED_TICK=1) across a multi-tick session
+    with partials read every tick."""
+    import os
+
+    n_chunks = 5
+    audio = synth_audio(n_chunks * CHUNK / 16000 + 0.01, seed=7)
+
+    def run(unfused: bool):
+        if unfused:
+            monkeypatch.setenv("SC_TPU_UNFUSED_TICK", "1")
+        else:
+            monkeypatch.delenv("SC_TPU_UNFUSED_TICK", raising=False)
+        eng = StreamingEngine(model, n_slots=2, beam_size=3,
+                              chunk_samples=CHUNK)
+        assert eng._use_fused_tick is (not unfused)
+        s0 = eng.acquire_slot()
+        s1 = eng.acquire_slot()
+        partials = []
+        for i in range(n_chunks - 1):
+            chunk = audio[i * CHUNK: (i + 1) * CHUNK]
+            out = eng.tick({s0: chunk, s1: chunk})
+            partials.append((tuple(out.get(s0, [])), tuple(out.get(s1, []))))
+        res = eng.finalize(s0, audio[(n_chunks - 1) * CHUNK: n_chunks * CHUNK])
+        return partials, tuple(int(t) for t in res[0])
+
+    p_fused, f_fused = run(unfused=False)
+    p_split, f_split = run(unfused=True)
+    assert p_fused == p_split
+    assert f_fused == f_split

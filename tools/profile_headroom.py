@@ -70,14 +70,12 @@ def main() -> int:
         audio_dev = jax.device_put(wave)  # staged ONCE, outside the timing
         # 2 untimed ticks absorb first-visit compiles / cold caches.
         for _ in range(2):
-            engine._tick_encode(audio_dev, do)
-            packed = engine._run_rounds(do)
+            packed = engine._tick_device(audio_dev, do)
         if packed is not None:
             jax.block_until_ready(packed)
         t0 = time.perf_counter()
         for _ in range(n_ticks):
-            engine._tick_encode(audio_dev, do)
-            packed = engine._run_rounds(do)
+            packed = engine._tick_device(audio_dev, do)
         if packed is not None:
             jax.block_until_ready(packed)
         return (time.perf_counter() - t0) / n_ticks

@@ -81,10 +81,14 @@ def main():
             batch[s] = (a.astype(np.float32) / 32767.0
                         if a.dtype == np.int16 else a)
             do[s] = True
+        # Phase split needs the UNFUSED tick (the default fused tick is one
+        # indivisible program — there is no encode/rounds boundary to time).
+        bk = engine._encode_bookkeeping(do)
         t0 = time.perf_counter()
-        engine._tick_encode(batch, do)
+        engine._dispatch_encode(batch, bk)
         jax.block_until_ready(engine.buffers.enc_out)
         t1 = time.perf_counter()
+        engine._apply_encode_counters(bk)
         engine._run_rounds(do)
         jax.block_until_ready(engine.arrays.yseq)
         t2 = time.perf_counter()
