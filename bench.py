@@ -207,6 +207,15 @@ def measure(model, n_streams: int, beam: int,
             elif idle > wedge_s:
                 prog(f"WEDGE: no progress in {wedge_s:.0f}s "
                      f"(device call stuck, process idle) — aborting rung")
+                # Root-cause evidence (VERDICT r04 #2): dump every
+                # thread's Python stack so the parent log records WHICH
+                # device call wedged (execute vs compile vs transfer —
+                # the frame above the PJRT boundary names the program).
+                import faulthandler
+
+                faulthandler.dump_traceback(file=sys.stderr,
+                                            all_threads=True)
+                sys.stderr.flush()
                 os._exit(3)
 
     if watchdog:
@@ -312,6 +321,15 @@ def measure(model, n_streams: int, beam: int,
                 stream_of[s2] = k
                 age[s2] = 0
                 next_final[s2] = churn_period
+        if i < warmup and os.environ.get("SC_TPU_WARMUP_SYNC"):
+            # Wedge hypothesis test (r05): the relay wedges near tick 4-8,
+            # where the first fused-tick execution and the finalize path's
+            # program loads pipeline back-to-back. Serializing warmup
+            # (one completed program before the next is dispatched) tests
+            # whether concurrent first-executions trigger it.
+            import jax
+
+            jax.block_until_ready(engine.arrays.yseq)
         dt = time.perf_counter() - t0
         # Feed the wedge watchdog: a completed tick is definite progress.
         last_prog[0], last_prog[1] = time.perf_counter(), _cpu_s()

@@ -31,7 +31,114 @@ sys.path.insert(0, str(REPO))
 sys.path.insert(0, str(REPO / "tests"))
 
 FIXTURE = REPO / "tests" / "fixtures" / "flagship_golden.json"
+FIXTURE_ESPNET = REPO / "tests" / "fixtures" / "flagship_golden_espnet.json"
 BEAM = 5
+
+
+def make_espnet_semantics_bsbs(ref_model):
+    """Reference torch BSBS with the espnet-path block-decode semantics.
+
+    The two semantic deltas between the reference's native loop
+    (beam_search.py:655-838) and the espnet backend it targets
+    (docs/ESPNET_PARITY.md D1/D2, from the reference's own
+    docs/architecture/global-state-architecture.md:30-97) are patched in:
+    the EOS-detecting step is discarded (break BEFORE commit), the rewind
+    snapshot is the PRE-update beam (one step more rollback at block
+    ends), and repetition detection is off. The loop below is written
+    fresh against the reference's public scoring primitives
+    (batch_score_hypotheses / select_state / top_k_hypotheses) — the same
+    calls the native loop makes, so scoring is bit-identical and only the
+    control flow differs. Final blocks keep the native snapshot (no
+    espnet ended-hypothesis pool here — divergence D3, documented)."""
+    import torch
+
+    from speechcatcher.beam_search.beam_search import create_beam_search
+    from speechcatcher.beam_search.hypothesis import (
+        BeamState,
+        Hypothesis,
+        append_position,
+        append_token,
+        top_k_hypotheses,
+    )
+
+    bsbs = create_beam_search(
+        ref_model, beam_size=BEAM, ctc_weight=0.3, decoder_weight=0.7,
+        device="cpu", use_bbd=False,
+    )
+
+    def _decode_one_block(encoder_out, prev_state, is_final=False):
+        hyps = bsbs.extend_scorers(encoder_out, prev_state.hypotheses)
+        new_state = BeamState(
+            hypotheses=hyps,
+            encoder_states=None,
+            encoder_out=encoder_out,
+            encoder_out_lens=torch.tensor([encoder_out.size(1)],
+                                          dtype=torch.long),
+            processed_frames=prev_state.processed_frames,
+            is_final=is_final,
+        )
+        if encoder_out.size(1) == 0:
+            return new_state
+        while bsbs.process_idx < bsbs.max_length:
+            scores, states_d, individual = (
+                bsbs.beam_search.batch_score_hypotheses(
+                    new_state.hypotheses, encoder_out
+                )
+            )
+            cand = []
+            for i, hyp in enumerate(new_state.hypotheses):
+                top_s, top_t = torch.topk(scores[i], bsbs.beam_size)
+                for sc, tok in zip(top_s.tolist(), top_t.tolist()):
+                    st_h = {}
+                    for name in states_d:
+                        scorer = bsbs.scorers[name]
+                        s0 = states_d[name][i]
+                        st_h[name] = (
+                            scorer.select_state(s0, i, tok)
+                            if hasattr(scorer, "select_state") else s0
+                        )
+                    nsc = hyp.scores.copy()
+                    for name, ssc in individual.items():
+                        nsc[name] = nsc.get(name, 0.0) + ssc[i, tok].item()
+                    cand.append(Hypothesis(
+                        yseq=append_token(hyp.yseq, tok),
+                        score=hyp.score + sc,
+                        scores=nsc,
+                        states=st_h,
+                        xpos=append_position(hyp.xpos,
+                                             encoder_out.size(1) - 1),
+                    ))
+            best = top_k_hypotheses(cand, bsbs.beam_size)
+            completed = [h for h in best
+                         if h.yseq[-1].item() == bsbs.eos_id]
+            if completed and not is_final:
+                # D1: discard the EOS-detecting step entirely —
+                # new_state.hypotheses stays at the pre-step beam.
+                break
+            pre_update = new_state.hypotheses
+            new_state.hypotheses = best
+            new_state.output_index += 1
+            if is_final:
+                best_hyp = max(best, key=lambda h: h.score)
+                if best_hyp.yseq[-1].item() == bsbs.eos_id:
+                    break
+                if all(h.yseq[-1].item() == bsbs.eos_id for h in best):
+                    break
+            # D1 companion: the rewind snapshot lags one step on
+            # streaming blocks (prev = running BEFORE the update); final
+            # blocks keep the committed beam (native snapshot, D3 note).
+            bsbs.prev_hyps = bsbs._copy_hypotheses(
+                best if is_final else pre_update
+            )
+            bsbs.process_idx += 1
+        if bsbs.process_idx > 1 and len(bsbs.prev_hyps) > 0:
+            new_state.hypotheses = bsbs.prev_hyps
+            bsbs.process_idx -= 1
+            bsbs.prev_hyps = []
+        return new_state
+
+    bsbs._decode_one_block = _decode_one_block
+    return bsbs
 
 
 def main() -> int:
@@ -52,6 +159,8 @@ def main() -> int:
         BlockwiseSynchronousBeamSearch,
     )
 
+    espnet_mode = "--espnet-semantics" in sys.argv
+    fixture = FIXTURE_ESPNET if espnet_mode else FIXTURE
     model, ref_model, chunks, finals = make_flagship_parity_setup()
 
     # --- reference decode (slow Python BSBS; run once, committed) -------
@@ -59,10 +168,13 @@ def main() -> int:
 
     _patch_reference_extend_prob()
     t0 = time.time()
-    bsbs = create_beam_search(
-        ref_model, beam_size=BEAM, ctc_weight=0.3, decoder_weight=0.7,
-        device="cpu", use_bbd=True,
-    )
+    if espnet_mode:
+        bsbs = make_espnet_semantics_bsbs(ref_model)
+    else:
+        bsbs = create_beam_search(
+            ref_model, beam_size=BEAM, ctc_weight=0.3, decoder_weight=0.7,
+            device="cpu", use_bbd=True,
+        )
     state = None
     with torch.no_grad():
         for i, (chunk, is_final) in enumerate(zip(chunks, finals)):
@@ -75,6 +187,8 @@ def main() -> int:
     golden = {
         "seed": FLAGSHIP_GOLDEN_SEED,
         "beam": BEAM,
+        "eos_commit": "espnet" if espnet_mode else "native",
+        "use_bbd": not espnet_mode,
         "cfg": asdict(model.cfg),
         "yseq": ref_best.yseq.numpy().tolist(),
         "xpos": ref_best.xpos.numpy().tolist(),
@@ -88,7 +202,8 @@ def main() -> int:
     # --- our decode: must match before we bless --------------------------
     t0 = time.time()
     ours = BlockwiseSynchronousBeamSearch(
-        model, beam_size=BEAM, ctc_weight=0.3, use_bbd=True
+        model, beam_size=BEAM, ctc_weight=0.3, use_bbd=not espnet_mode,
+        eos_commit="espnet" if espnet_mode else "native",
     )
     for chunk, is_final in zip(chunks, finals):
         ours.process_block(jnp.asarray(chunk), is_final=is_final)
@@ -109,9 +224,9 @@ def main() -> int:
         print(f"FAIL: score drift {our_score} vs {golden['score']}")
         return 1
 
-    FIXTURE.parent.mkdir(parents=True, exist_ok=True)
-    FIXTURE.write_text(json.dumps(golden, indent=1) + "\n")
-    print(f"PASS — blessed {FIXTURE} ({len(golden['yseq'])} tokens)")
+    fixture.parent.mkdir(parents=True, exist_ok=True)
+    fixture.write_text(json.dumps(golden, indent=1) + "\n")
+    print(f"PASS — blessed {fixture} ({len(golden['yseq'])} tokens)")
     return 0
 
 

@@ -6,15 +6,23 @@
 # a relay-wedged attempt self-aborts in ~130 s (bench.py watchdog) and
 # is retried. Usage: scripts/warm_bench_rungs.sh [out_dir]
 set -u
-OUT=${1:-/tmp/warm_r4}
+OUT=${1:-/tmp/warm_r5}
 mkdir -p "$OUT"
 cd "$(dirname "$0")/.."
-for spec in 512:32 96:32 1:0 768:32 640:32 64:32; do
+# Warming's job is to SEED THE SERVER-SIDE compile cache (the local
+# persistent cache never hits across processes on axon — its keys are
+# per-process). Remote compiles leave the client epoll-idle, which the
+# bench watchdog reads as a wedge at its default 120 s — killing the rung
+# mid-compile prevents the server cache write and loops forever. Warm runs
+# therefore get a 600 s wedge threshold: a true wedge wastes 10 min here,
+# but a killed first compile wastes the whole sequence.
+export SC_TPU_WEDGE_S=${SC_TPU_WEDGE_S:-600}
+for spec in 128:32 96:32 64:32 512:32 1:0 768:32 640:32 160:32; do
   S=${spec%%:*}; CHURN=${spec##*:}
   for attempt in 1 2 3; do
     log="$OUT/rung${S}_a${attempt}.log"
     echo "=== rung $S churn $CHURN attempt $attempt $(date -u +%H:%M:%S) ==="
-    timeout 900 python bench.py --rung "$S" --churn "$CHURN" \
+    timeout 1200 python bench.py --rung "$S" --churn "$CHURN" \
       >"$log" 2>&1
     rc=$?
     echo "rc=$rc" >>"$log"

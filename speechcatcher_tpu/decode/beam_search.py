@@ -388,7 +388,8 @@ def _merge_arrays(full: BeamArrays, view: BeamArrays, l_bound: int,
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "beam", "pre_beam", "ctc_weight", "use_bbd",
-                     "max_length", "l_bound", "t_bound", "penalty"),
+                     "max_length", "l_bound", "t_bound", "penalty",
+                     "eos_commit"),
 )
 def decode_block_device(
     params,
@@ -406,6 +407,7 @@ def decode_block_device(
     l_bound: Optional[int] = None,
     t_bound: Optional[int] = None,
     penalty: float = 0.0,
+    eos_commit: str = "native",
 ) -> BlockDecodeState:
     """The whole per-block beam loop as ONE device program.
 
@@ -456,17 +458,36 @@ def decode_block_device(
         bbd = stepping & use_bbd & ~block_final & flags.repetition & (
             ~flags.eos_in_beam
         )
-        advanced = stepping & ~bbd
+        stop_eos = stepping & flags.eos_in_beam & ~block_final
+        if eos_commit == "espnet":
+            # ESPnet-path D1 semantics (docs/ESPNET_PARITY.md): the step
+            # that finds EOS in the beam is DISCARDED — BatchBeamSearchOnline
+            # breaks before post_process commits it (reference
+            # docs/architecture/global-state-architecture.md:40-47) — where
+            # the native path commits it (beam_search.py:760-773).
+            discard = bbd | stop_eos
+        else:
+            discard = bbd
+        advanced = stepping & ~discard
         arrays = select_arrays(advanced, new, old)
-        output_index = jnp.where(bbd, output_index - 1, output_index)
+        output_index = jnp.where(discard, output_index - 1, output_index)
 
         # Stop conditions (reference :760-809).
-        stop_eos = stepping & flags.eos_in_beam & ~block_final
         stop_eos_final = stepping & block_final & flags.best_is_eos
         cont = advanced & ~stop_eos & ~stop_eos_final
 
         # Save rewind snapshot for continuing streams (reference :811-816).
-        prev_arrays = select_arrays(cont, arrays, st.prev_arrays)
+        # Native saves the COMMITTED step (prev == state k); the espnet
+        # path saves running_hyps BEFORE post_process (prev == state k-1,
+        # global-state-architecture.md:48-57), so its block-end rewind
+        # lands one step earlier. Final blocks keep the native snapshot in
+        # both modes: without espnet's ended-hypothesis pool (documented
+        # divergence D3) a lagged snapshot would cut the final EOS step.
+        if eos_commit == "espnet":
+            prev_src = select_arrays(block_final, arrays, old)
+        else:
+            prev_src = arrays
+        prev_arrays = select_arrays(cont, prev_src, st.prev_arrays)
         prev_valid = st.prev_valid | cont
         process_idx = jnp.where(cont, st.process_idx + 1, st.process_idx)
         stepping = cont & (process_idx < max_length) & (arrays.ylen + 1 < l_bound)
@@ -552,12 +573,17 @@ class BlockwiseSynchronousBeamSearch:
         max_length: Optional[int] = None,
         penalty: float = 0.0,
         coverage_weight: float = 0.0,
+        eos_commit: str = "native",
     ):
         self.model = model
         self.cfg = model.cfg
         self.beam_size = beam_size
         self.ctc_weight = ctc_weight
         self.use_bbd = use_bbd
+        # "native" (default, golden-pinned) or "espnet" — the EOS-step
+        # commit semantics of the two reference backends; see
+        # docs/ESPNET_PARITY.md (D1).
+        self.eos_commit = eos_commit
         self.penalty = penalty
         self.coverage_weight = coverage_weight
         self.pre_beam = pre_beam_size or self.cfg.pre_beam_size
@@ -708,6 +734,7 @@ class BlockwiseSynchronousBeamSearch:
             self.use_bbd,
             self.max_length,
             penalty=self.penalty,
+            eos_commit=self.eos_commit,
         )
         st.arrays = out.arrays
         st.dec_cache = out.dec_cache

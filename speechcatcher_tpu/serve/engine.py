@@ -701,7 +701,8 @@ _fused_encode = functools.partial(
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "beam", "pre_beam", "ctc_weight", "use_bbd",
-                     "max_length", "l_bound", "t_bound", "extcap", "penalty"),
+                     "max_length", "l_bound", "t_bound", "extcap", "penalty",
+                     "eos_commit"),
     # Donate the beam/scorer state: the caller replaces the reference
     # right after the call, and in-place updates halve the transient HBM
     # peak of the per-block rebuild.
@@ -726,6 +727,7 @@ def _fused_round(
     t_bound: int,
     extcap: int,
     penalty: float = 0.0,
+    eos_commit: str = "native",
 ):
     """Extend scorers + run the block beam loop, all in one program.
 
@@ -749,7 +751,7 @@ def _fused_round(
     out = decode_block_device(
         params, dec_pe, enc_out, state, new_vis, block_final, cfg, beam,
         pre_beam, ctc_weight, use_bbd, max_length, l_bound=l_bound,
-        t_bound=t_bound, penalty=penalty,
+        t_bound=t_bound, penalty=penalty, eos_commit=eos_commit,
     )
     packed = jnp.concatenate(
         [out.arrays.ylen[:, None], out.arrays.yseq[:, 0, :]], axis=1
@@ -766,7 +768,8 @@ def _fused_round(
     jax.jit,
     static_argnames=("cfg", "maxb", "n_fft", "hop", "subcap", "beam",
                      "pre_beam", "ctc_weight", "use_bbd", "max_length",
-                     "l_bound", "t_bound", "extcap", "penalty"),
+                     "l_bound", "t_bound", "extcap", "penalty",
+                     "eos_commit"),
     # Both big carries are replaced by the caller right after the call:
     # donation lets the enc_out ring append and the beam-state rebuild run
     # in place (one transient copy each otherwise).
@@ -805,6 +808,7 @@ def _fused_tick(
     t_bound: int,
     extcap: int,
     penalty: float = 0.0,
+    eos_commit: str = "native",
 ):
     """The WHOLE tick — encode + every beam round — as ONE device program.
 
@@ -859,7 +863,7 @@ def _fused_tick(
         out = decode_block_device(
             params, dec_pe, enc_out, st, new_vis, block_final, cfg, beam,
             pre_beam, ctc_weight, use_bbd, max_length, l_bound=l_bound,
-            t_bound=t_bound, penalty=penalty,
+            t_bound=t_bound, penalty=penalty, eos_commit=eos_commit,
         )
         return (out, new_vis, jnp.where(ready, pb + 1, pb))
 
@@ -876,7 +880,8 @@ def _fused_tick(
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "beam", "pre_beam", "ctc_weight", "use_bbd",
-                     "max_length", "l_bound", "t_bound", "extcap", "penalty"),
+                     "max_length", "l_bound", "t_bound", "extcap", "penalty",
+                     "eos_commit"),
     donate_argnames=("state",),
 )
 def _fused_drain(
@@ -899,6 +904,7 @@ def _fused_drain(
     t_bound: int,
     extcap: int,
     penalty: float = 0.0,
+    eos_commit: str = "native",
 ):
     """Finalization drain as ONE program: an outer while_loop runs the
     remaining full blocks (streaming semantics) and then each stream's
@@ -937,6 +943,7 @@ def _fused_drain(
             params, dec_pe, enc_out, st, jnp.where(ready | fin, new_vis, vis),
             fin, cfg, beam, pre_beam, ctc_weight, use_bbd, max_length,
             l_bound=l_bound, t_bound=t_bound, penalty=penalty,
+            eos_commit=eos_commit,
         )
         return (out, jnp.where(ready | fin, new_vis, vis),
                 jnp.where(ready, pb + 1, pb), fdone | fin)
@@ -1117,6 +1124,7 @@ class StreamingEngine:
         pre_beam_size: Optional[int] = None,
         penalty: float = 0.0,
         max_length: Optional[int] = None,
+        eos_commit: str = "native",
     ):
         self.model = model
         cfg = model.cfg
@@ -1127,6 +1135,8 @@ class StreamingEngine:
         self.use_bbd = use_bbd
         self.pre_beam = min(pre_beam_size or cfg.pre_beam_size, cfg.vocab_size)
         self.penalty = penalty
+        # EOS-step commit semantics ("native"/"espnet", docs/ESPNET_PARITY.md)
+        self.eos_commit = eos_commit
         self.A = chunk_samples
         # Per-utterance beam-step budget. Each step pays an O(visible
         # frames) CTC prefix recursion, so serving deployments can cap it
@@ -1234,6 +1244,7 @@ class StreamingEngine:
         self._finalizer = BlockwiseSynchronousBeamSearch(
             model, beam_size=beam_size, ctc_weight=ctc_weight,
             use_bbd=use_bbd, penalty=penalty, max_length=self.max_length,
+            eos_commit=eos_commit,
         )
 
     # ------------------------------------------------------------------
@@ -1661,6 +1672,7 @@ class StreamingEngine:
             t_bound,
             self.EXTCAP,
             self.penalty,
+            self.eos_commit,
         )
         self.arrays = out.arrays
         self.prev_arrays = out.prev_arrays
@@ -1743,6 +1755,7 @@ class StreamingEngine:
                 t_bound,
                 self.EXTCAP,
                 self.penalty,
+                self.eos_commit,
             )
             self.arrays = out.arrays
             self.prev_arrays = out.prev_arrays
@@ -2149,6 +2162,7 @@ class StreamingEngine:
             cfg, self.beam, self.pre_beam,
             self.ctc_weight, self.use_bbd, self.max_length,
             l_bound, t_bound, self.EXTCAP, self.penalty,
+            self.eos_commit,
         )
         carr = res.arrays
 

@@ -25,15 +25,16 @@ torch = pytest.importorskip("torch")
 pytest.importorskip("speechcatcher")
 
 FIXTURE = Path(__file__).parent / "fixtures" / "flagship_golden.json"
+FIXTURE_ESPNET = (Path(__file__).parent / "fixtures"
+                  / "flagship_golden_espnet.json")
 
 
-@pytest.mark.skipif(not FIXTURE.exists(),
-                    reason="no blessed fixture; run "
-                    "scripts/bless_flagship_golden.py")
-def test_flagship_golden_token_exact():
+def _replay_fixture(fixture: Path):
+    """Shared replay: decode with the fixture's recorded semantics mode
+    and assert token/position/score exactness vs the blessed torch run."""
     from helpers import FLAGSHIP_GOLDEN_SEED, make_flagship_parity_setup
 
-    golden = json.loads(FIXTURE.read_text())
+    golden = json.loads(fixture.read_text())
     assert golden["seed"] == FLAGSHIP_GOLDEN_SEED, (
         "fixture was blessed for a different seed — re-run "
         "scripts/bless_flagship_golden.py"
@@ -48,7 +49,9 @@ def test_flagship_golden_token_exact():
     )
 
     bsbs = BlockwiseSynchronousBeamSearch(
-        model, beam_size=golden["beam"], ctc_weight=0.3, use_bbd=True
+        model, beam_size=golden["beam"], ctc_weight=0.3,
+        use_bbd=golden.get("use_bbd", True),
+        eos_commit=golden.get("eos_commit", "native"),
     )
     for chunk, is_final in zip(chunks, finals):
         bsbs.process_block(jnp.asarray(chunk), is_final=is_final)
@@ -60,3 +63,22 @@ def test_flagship_golden_token_exact():
     )
     assert list(xpos) == golden["xpos"]
     np.testing.assert_allclose(score, golden["score"], rtol=1e-2, atol=1e-2)
+
+
+@pytest.mark.skipif(not FIXTURE.exists(),
+                    reason="no blessed fixture; run "
+                    "scripts/bless_flagship_golden.py")
+def test_flagship_golden_token_exact():
+    _replay_fixture(FIXTURE)
+
+
+@pytest.mark.skipif(not FIXTURE_ESPNET.exists(),
+                    reason="no blessed fixture; run "
+                    "scripts/bless_flagship_golden.py --espnet-semantics")
+def test_flagship_golden_espnet_semantics():
+    """ESPnet-path semantics (docs/ESPNET_PARITY.md D1+D2): the blessing
+    script patched the reference torch BSBS to the espnet backend's
+    control flow (EOS-detecting step discarded, lagged rewind snapshot,
+    repetition detection off) and verified our eos_commit="espnet",
+    use_bbd=False decode token-exact before writing the fixture."""
+    _replay_fixture(FIXTURE_ESPNET)
