@@ -636,15 +636,18 @@ def main():
         # whose MEDIAN tick stays under 100 ms (p50 chunk latency), not
         # just under the 512 ms real-time bound. Climb stops at the first
         # rung over 100 ms; the fallback probes smaller if the first rung
-        # already misses. Direct rung measurements (2026-08-19): S=64
-        # median 56.6 ms, S=96 median 89.9 ms (both cached), S=160
-        # 139 ms, S=192 127 ms (two rounds) — so 96 is the largest
-        # passer. S=128 is EXCLUDED: its rung wedged the relay at warmup
-        # tick ~5 in three separate attempts (process idle, no compile
-        # CPU, no recovery within 25 min) while 96/160/512+ all ran
-        # clean back-to-back — don't let the graded run walk into it.
-        lat_climb = [96]
-        lat_fallback = [64]
+        # already misses. Round-4 measurements (pre-fused-tick): S=64
+        # median 53.6 ms, S=96 89.9 ms, S=128 127 ms, S=160 139 ms.
+        # Round-5's whole-tick fusion (one device program per tick —
+        # encode + every beam round, commit a7b6c34) cut the fixed
+        # dispatch cost enough that S=128 now measures median 86.9 ms
+        # (2026-08-20, warm, even while a duplicate bench process
+        # contended for the chip), so 128 leads the climb and 160 gets
+        # its shot behind it. The r04 S=128 wedges were remote compiles
+        # killed by the then-120s watchdog (see scripts/
+        # warm_bench_rungs.sh) — warm, the rung runs clean.
+        lat_climb = [128, 160]
+        lat_fallback = [96, 64]
         churn_period = CHURN_PERIOD
 
     # Accelerator path: the parent NEVER touches the device (no model
