@@ -647,7 +647,12 @@ def main():
         # killed by the then-120s watchdog (see scripts/
         # warm_bench_rungs.sh) — warm, the rung runs clean.
         lat_climb = [128, 160]
-        lat_fallback = [96, 64]
+        # 112 leads the fallback: when 128 misses at the margin (warm
+        # medians straddle 100 ms — 86.9 ms uncontended, 105 ms with a
+        # concurrent CPU-bound process), 112 is the largest rung that can
+        # still satisfy BASELINE's "≥100 streams at p50<100 ms"; 96/64
+        # only salvage the metric's floor.
+        lat_fallback = [112, 96, 64]
         churn_period = CHURN_PERIOD
 
     # Accelerator path: the parent NEVER touches the device (no model

@@ -64,6 +64,12 @@ _install_torchaudio_stub()
 if REFERENCE_ROOT not in sys.path and os.path.isdir(REFERENCE_ROOT):
     sys.path.append(REFERENCE_ROOT)
 
+# Fixture-replay tests reuse the blessing scripts' decode drivers
+# (scripts/bless_engine_golden.py) so CI replays EXACTLY what was blessed.
+_SCRIPTS = os.path.join(os.path.dirname(__file__), "..", "scripts")
+if _SCRIPTS not in sys.path:
+    sys.path.append(os.path.abspath(_SCRIPTS))
+
 
 import pytest  # noqa: E402
 

@@ -101,7 +101,9 @@ def flagship_parity_config():
     return _flagship_config()
 
 
-def make_flagship_parity_setup(seed: int = FLAGSHIP_GOLDEN_SEED):
+def make_flagship_parity_setup(seed: int = FLAGSHIP_GOLDEN_SEED,
+                               eos_bias: float = 4.0,
+                               blank_bias: float = 10.0):
     """(our_model, ref_model, chunks, finals) at flagship dims.
 
     The torch modules' EOS/blank logit biases are raised IN THE WEIGHTS
@@ -109,7 +111,11 @@ def make_flagship_parity_setup(seed: int = FLAGSHIP_GOLDEN_SEED):
     conversion, exactly like bench.py::_build_model: random weights never
     rank EOS otherwise, so every final would burst to the max_tokens step
     budget — a pathology real checkpoints don't have. Both sides decode
-    the identical biased weights, so parity is unaffected."""
+    the identical biased weights, so parity is unaffected. The audio-level
+    engine golden (scripts/bless_engine_golden.py) passes different bias
+    constants: real log-mel features of synth audio sit far from the N(0,1)
+    feature stats this module's feature-level fixtures use, and the default
+    biases make the empty hypothesis win outright (0-token golden)."""
     import types
 
     import torch
@@ -125,8 +131,8 @@ def make_flagship_parity_setup(seed: int = FLAGSHIP_GOLDEN_SEED):
     cfg = flagship_parity_config()
     ref_enc, ref_dec, ref_ctc = make_reference_modules(cfg, seed=seed)
     with torch.no_grad():
-        ref_dec.output_layer.bias[cfg.eos_id] += 4.0
-        ref_ctc.ctc_lo.bias[cfg.blank_id] += 10.0
+        ref_dec.output_layer.bias[cfg.eos_id] += eos_bias
+        ref_ctc.ctc_lo.bias[cfg.blank_id] += blank_bias
     params = reference_params_to_jax(ref_enc, ref_dec, ref_ctc, cfg)
     model = ASRModel(
         cfg=cfg,

@@ -82,3 +82,32 @@ def test_flagship_golden_espnet_semantics():
     repetition detection off) and verified our eos_commit="espnet",
     use_bbd=False decode token-exact before writing the fixture."""
     _replay_fixture(FIXTURE_ESPNET)
+
+
+FIXTURE_CONFORMER = (Path(__file__).parent / "fixtures"
+                     / "flagship_conformer_golden.json")
+
+
+@pytest.mark.skipif(not FIXTURE_CONFORMER.exists(),
+                    reason="no blessed fixture; run "
+                    "scripts/bless_conformer_golden.py")
+def test_flagship_conformer_regression():
+    """Conformer variant at serving dims vs its self-blessed regression
+    golden (the reference has no conformer encoder to anchor against —
+    see the blessing script's provenance note; torch parity for the
+    conformer building blocks lives in tests/test_conformer.py). The
+    model regenerates from ASRModel.random_init — no torch weights
+    involved (this module's importorskip gate still applies)."""
+    from bless_conformer_golden import build_model, decode
+
+    golden = json.loads(FIXTURE_CONFORMER.read_text())
+    model = build_model()
+    import dataclasses
+
+    assert dataclasses.asdict(model.cfg) == golden["cfg"], (
+        "conformer flagship config drifted since the fixture was blessed"
+    )
+    yseq, xpos, score = decode(model)
+    assert [int(t) for t in yseq] == golden["yseq"]
+    assert [int(p) for p in xpos] == golden["xpos"]
+    np.testing.assert_allclose(score, golden["score"], rtol=1e-2, atol=1e-2)
