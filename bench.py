@@ -80,16 +80,25 @@ TIMED_TICKS = 24
 # 2026-08-19: ~70% of rung starts wedged for an hour) — and even if the
 # driver kills an overrun, every banked result was already emitted as a
 # parseable line, so the run degrades to best-so-far, not to nothing.
-TIME_BUDGET_S = 1620.0
+# Round-5 raise 1620 -> 2040: the r04 "wedges" were remote compiles
+# killed mid-flight (see the watchdog note in measure()); with the
+# phase-aware watchdog each cold rung legitimately needs up to 660 s,
+# and a fully-cold day (the local cache never hits across processes on
+# axon) must fit anchor + latency rung + one climb rung = ~3 cold rungs.
+# The overrun risk is bounded by best-so-far emission.
+TIME_BUDGET_S = 2040.0
 # Per-rung subprocess cap. The tunneled chip occasionally stalls for
 # MINUTES (observed: jax.devices() blocking >20 min during a relay
 # outage); without a per-rung cap one stalled rung eats the whole
 # remaining budget and the ladder banks nothing. A warm-cache rung is
 # ~60 s of ticks + seconds of dispatch; a cold-cache first visit pays a
-# few minutes of XLA compiles — 480 s covers both with margin, and a
-# relay-stalled rung dies in time for a later rung (or retry) to run
-# after the relay recovers.
-RUNG_TIMEOUT_S = 480.0
+# few minutes of REMOTE XLA compiles — observed 190-600 s server-side
+# (2026-08-20), and the local persistent cache does not hit across
+# processes on axon, so the graded run must assume cold. 660 s contains
+# one cold warmup (600 s watchdog ceiling) plus the timed window; a
+# relay-stalled rung still dies in time for a later rung (or retry) to
+# run after the relay recovers.
+RUNG_TIMEOUT_S = 660.0
 
 
 def synth_audio(n_ticks: int, seed: int) -> np.ndarray:
@@ -190,6 +199,22 @@ def measure(model, n_streams: int, beam: int,
         return ru.ru_utime + ru.ru_stime
 
     wedge_s = float(os.environ.get("SC_TPU_WEDGE_S", "120"))
+    # Root cause of every round-4 "wedge" (diagnosed 2026-08-20 with the
+    # faulthandler dump below): on axon the XLA compile runs on the
+    # REMOTE server — the client blocks epoll-idle in the first D2H
+    # readback at warmup tick ~4-8 (the first fused-tick execution) at
+    # ~0% CPU, which the CPU-duty gate cannot tell from a true relay
+    # wedge. Killing it at 120 s aborts the compile BEFORE the server
+    # cache write, so the next attempt is cold again — the self-
+    # sustaining wedge loop that burned 5 rungs in the graded r04 run
+    # (and the local persistent cache never hits across processes here;
+    # warming an hour ahead demonstrably did not survive to the next
+    # process). Fix: the wedge threshold is PHASE-AWARE — warmup ticks,
+    # where every legitimate first compile lives, get 600 s (observed
+    # cold compiles: 190-600 s server-side); timed ticks, which only run
+    # already-compiled programs, keep the tight 120 s.
+    warm_wedge_s = float(os.environ.get("SC_TPU_WARM_WEDGE_S", "600"))
+    in_warmup = [True]
     # (wall, cpu) at the last observed progress point; armed from the
     # start so a wedge during engine build / weight upload also aborts
     # (the synth + build phases keep CPU busy enough to slide the point).
@@ -200,12 +225,13 @@ def measure(model, n_streams: int, beam: int,
             time.sleep(10.0)
             wall_now, cpu_now = time.perf_counter(), _cpu_s()
             idle = wall_now - last_prog[0]
+            limit = warm_wedge_s if in_warmup[0] else wedge_s
             if cpu_now - last_prog[1] > 0.10 * idle:
                 # Host is working (compiling / transcoding) — slide the
                 # progress point instead of counting toward the wedge.
                 last_prog[0], last_prog[1] = wall_now, cpu_now
-            elif idle > wedge_s:
-                prog(f"WEDGE: no progress in {wedge_s:.0f}s "
+            elif idle > limit:
+                prog(f"WEDGE: no progress in {limit:.0f}s "
                      f"(device call stuck, process idle) — aborting rung")
                 # Root-cause evidence (VERDICT r04 #2): dump every
                 # thread's Python stack so the parent log records WHICH
@@ -275,6 +301,10 @@ def measure(model, n_streams: int, beam: int,
             # timed-out rung was stuck and how fast ticks were moving.
             prog(f"{'timed' if i >= warmup else 'warmup'} tick "
                  f"{i}/{n_ticks}")
+        if i == warmup:
+            # Every first-visit compile lives in warmup; from here on an
+            # idle wait is a true wedge — tighten the watchdog.
+            in_warmup[0] = False
         t0 = time.perf_counter()
         batch = {}
         for s in list(age):
@@ -640,19 +670,18 @@ def main():
         # median 53.6 ms, S=96 89.9 ms, S=128 127 ms, S=160 139 ms.
         # Round-5's whole-tick fusion (one device program per tick —
         # encode + every beam round, commit a7b6c34) cut the fixed
-        # dispatch cost enough that S=128 now measures median 86.9 ms
-        # (2026-08-20, warm, even while a duplicate bench process
-        # contended for the chip), so 128 leads the climb and 160 gets
-        # its shot behind it. The r04 S=128 wedges were remote compiles
-        # killed by the then-120s watchdog (see scripts/
-        # warm_bench_rungs.sh) — warm, the rung runs clean.
-        lat_climb = [128, 160]
-        # 112 leads the fallback: when 128 misses at the margin (warm
-        # medians straddle 100 ms — 86.9 ms uncontended, 105 ms with a
-        # concurrent CPU-bound process), 112 is the largest rung that can
-        # still satisfy BASELINE's "≥100 streams at p50<100 ms"; 96/64
-        # only salvage the metric's floor.
-        lat_fallback = [112, 96, 64]
+        # dispatch cost enough that the north-star became reachable, but
+        # warm chip measurements (2026-08-20) put S=128 ON the line —
+        # median 86.9-105.2 ms across runs (contention- and relay-mood-
+        # dependent) — while S=112 measured 76.5 ms with 23 ms of margin.
+        # The metric needs ANY rung >= 100 streams under 100 ms, so the
+        # bankable 112 leads and 128 climbs behind it as upside; 160
+        # measured 104 ms warm and is out. The r04 S=128 "wedges" were
+        # remote compiles killed by the then-120s watchdog (root-caused
+        # 2026-08-20, see the phase-aware watchdog in measure()).
+        lat_climb = [112, 128]
+        # Fallback only salvages the metric's floor when even 112 fails.
+        lat_fallback = [96, 64]
         churn_period = CHURN_PERIOD
 
     # Accelerator path: the parent NEVER touches the device (no model
@@ -824,6 +853,11 @@ def main():
         # them) — one failed attempt should fall straight through to the
         # S=64 fallback instead of burning a second ~150 s wedge.
         for s in [r for r in lat_climb if r > lat_best_s]:
+            if lat_best_s >= 100 and remaining() < RUNG_TIMEOUT_S + 250:
+                # North-star satisfied (>=100 streams under 100 ms);
+                # climbing further is gravy — don't spend the budget the
+                # 768 throughput rung (worth a headline) still needs.
+                break
             got = try_rung(s, rt_gate=False, retry=False)
             if got is None:
                 break
@@ -855,13 +889,16 @@ def main():
         nonlocal single_p50
         if single_p50 is not None or remaining() < 150:
             return  # CPU smoke already measured it in-parent
-        got1 = _rung_subprocess(1, 0, timeout_s=min(remaining(), 300.0))
+        # 420 s cap: even S=1 pays a remote first compile when cold
+        # (observed stuck-at-warmup S=1 rungs in r04 were exactly this);
+        # 300 s re-created the kill-mid-compile loop for this rung.
+        got1 = _rung_subprocess(1, 0, timeout_s=min(remaining(), 420.0))
         if got1 is None and _FAILURES \
                 and ("WEDGE" in _FAILURES[-1]["why"]
                      or "warmup" in _FAILURES[-1]["why"]) \
                 and remaining() > 200:
             got1 = _rung_subprocess(1, 0,
-                                    timeout_s=min(remaining(), 300.0))
+                                    timeout_s=min(remaining(), 420.0))
         if got1 is not None:
             single_p50 = got1.get("median")
             print(f"# S=1: p50 tick {single_p50*1000:.1f} ms",

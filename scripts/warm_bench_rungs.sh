@@ -17,7 +17,10 @@ cd "$(dirname "$0")/.."
 # therefore get a 600 s wedge threshold: a true wedge wastes 10 min here,
 # but a killed first compile wastes the whole sequence.
 export SC_TPU_WEDGE_S=${SC_TPU_WEDGE_S:-600}
-for spec in 128:32 96:32 64:32 512:32 1:0 768:32 640:32 160:32 112:32; do
+# Order = the graded ladder's visit order (anchor, latency rungs, S=1,
+# climb, consolation, floor fallbacks), so a partially-finished warm
+# pass still covers the rungs the graded run reaches first.
+for spec in 512:32 112:32 128:32 1:0 768:32 640:32 96:32 64:32; do
   S=${spec%%:*}; CHURN=${spec##*:}
   for attempt in 1 2 3; do
     log="$OUT/rung${S}_a${attempt}.log"
