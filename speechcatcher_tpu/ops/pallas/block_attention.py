@@ -16,6 +16,12 @@ attentions batched through the MXU via dot_general batch dims.
 Numerics match ops/layers.py::scaled_dot_attention exactly (same MASK_MIN
 fill, same fully-masked-row zeroing) — parity test in
 tests/test_pallas_kernels.py runs the kernel in interpreter mode on CPU.
+
+Differentiable: pallas_call has no autodiff rule, so a custom VJP
+recomputes the attention through the XLA ops in the backward pass
+(rematerialization — nothing beyond q/k/v is saved from the forward). The
+training path (encoder_forward_train under jax.grad) hits this on real
+TPUs, where use_pallas() routes the forward here.
 """
 
 from __future__ import annotations
@@ -67,15 +73,24 @@ def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref):
     o_ref[:] = out.reshape(tn, h, w, dk)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def block_attention(
-    q: jnp.ndarray,     # (N, H, W, dk)
-    k: jnp.ndarray,
-    v: jnp.ndarray,
-    mask: jnp.ndarray,  # (W, W) nonzero = attend
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """softmax(mask(Q·Kᵀ/√dk))·V with reference mask semantics, fused."""
+def _xla_reference(q, k, v, mask):
+    """Same math as _kernel via plain XLA ops — the autodiff anchor for
+    the custom VJP (numerically identical to the kernel)."""
+    dk = q.shape[-1]
+    scores = jnp.einsum(
+        "nhqd,nhkd->nhqk", q, k, preferred_element_type=jnp.float32
+    ) / math.sqrt(dk)
+    keep = mask != 0
+    scores = jnp.where(keep[None, None], scores, MASK_MIN)
+    attn = jax.nn.softmax(scores, axis=-1)
+    attn = jnp.where(keep[None, None], attn, 0.0)
+    return jnp.einsum(
+        "nhqk,nhkd->nhqd", attn, v, preferred_element_type=jnp.float32
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _block_attention(q, k, v, mask, interpret):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -105,3 +120,31 @@ def block_attention(
     )(q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
       mask.astype(jnp.float32))
     return out[:n]
+
+
+def _block_attention_fwd(q, k, v, mask, interpret):
+    return _block_attention(q, k, v, mask, interpret), (q, k, v, mask)
+
+
+def _block_attention_bwd(interpret, res, g):
+    q, k, v, mask = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: _xla_reference(q_, k_, v_, mask), q, k, v
+    )
+    dq, dk, dv = vjp(g.astype(jnp.float32))
+    return dq, dk, dv, jnp.zeros_like(mask)  # mask = static geometry
+
+
+_block_attention.defvjp(_block_attention_fwd, _block_attention_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def block_attention(
+    q: jnp.ndarray,     # (N, H, W, dk)
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: jnp.ndarray,  # (W, W) nonzero = attend
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """softmax(mask(Q·Kᵀ/√dk))·V with reference mask semantics, fused."""
+    return _block_attention(q, k, v, mask, interpret)

@@ -96,18 +96,31 @@ def _kernel(q_ref, k_ref, v_ref, pos_ref, bu_ref, bv_ref, mask_ref,
     o_ref[:] = out.reshape(tn, h, w, dk)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def rel_block_attention(
-    q: jnp.ndarray,       # (N, H, W, dk)
-    k: jnp.ndarray,       # (N, H, W, dk)
-    v: jnp.ndarray,       # (N, H, W, dk)
-    pos: jnp.ndarray,     # (H, W, dk) projected positional encodings
-    bias_u: jnp.ndarray,  # (H, dk)
-    bias_v: jnp.ndarray,  # (H, dk)
-    mask: jnp.ndarray,    # (W, W) nonzero = attend
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """Fused softmax(mask((q+u)·kᵀ + shift((q+v)·posᵀ)))·V, rel-pos MHA."""
+def _xla_reference(q, k, v, pos, bias_u, bias_v, mask):
+    """Kernel math via plain XLA ops — the autodiff anchor for the custom
+    VJP (identical numerics to ops/conformer.py::rel_position_attention's
+    XLA path at tq == tk with a shared position table)."""
+    from speechcatcher_tpu.ops.conformer import rel_shift
+
+    dk = q.shape[-1]
+    q_u = q + bias_u[None, :, None, :]
+    q_v = q + bias_v[None, :, None, :]
+    ac = jnp.einsum("nhqd,nhkd->nhqk", q_u, k,
+                    preferred_element_type=jnp.float32)
+    bd = jnp.einsum("nhqd,hkd->nhqk", q_v, pos,
+                    preferred_element_type=jnp.float32)
+    bd = rel_shift(bd)
+    scores = (ac + bd) / math.sqrt(dk)
+    keep = mask != 0
+    scores = jnp.where(keep[None, None], scores, MASK_MIN)
+    attn = jax.nn.softmax(scores, axis=-1)
+    attn = jnp.where(keep[None, None], attn, 0.0)
+    return jnp.einsum("nhqk,nhkd->nhqd", attn, v,
+                      preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def _rel_block_attention(q, k, v, pos, bias_u, bias_v, mask, interpret):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -156,3 +169,46 @@ def rel_block_attention(
       pos.astype(jnp.float32), bias_u.astype(jnp.float32),
       bias_v.astype(jnp.float32), mask.astype(jnp.float32), shift1, shift2)
     return out[:n]
+
+
+def _rel_block_attention_fwd(q, k, v, pos, bias_u, bias_v, mask, interpret):
+    out = _rel_block_attention(q, k, v, pos, bias_u, bias_v, mask, interpret)
+    return out, (q, k, v, pos, bias_u, bias_v, mask)
+
+
+def _rel_block_attention_bwd(interpret, res, g):
+    q, k, v, pos, bias_u, bias_v, mask = res
+    # pos/bias_u/bias_v are trainable (linear_pos projection and the
+    # Transformer-XL biases), so they get real cotangents; only the static
+    # geometry mask is zero.
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_, p_, u_, v2_: _xla_reference(
+            q_, k_, v_, p_, u_, v2_, mask
+        ),
+        q, k, v, pos, bias_u, bias_v,
+    )
+    dq, dk, dv, dpos, du, dbv = vjp(g.astype(jnp.float32))
+    return dq, dk, dv, dpos, du, dbv, jnp.zeros_like(mask)
+
+
+_rel_block_attention.defvjp(_rel_block_attention_fwd, _rel_block_attention_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def rel_block_attention(
+    q: jnp.ndarray,       # (N, H, W, dk)
+    k: jnp.ndarray,       # (N, H, W, dk)
+    v: jnp.ndarray,       # (N, H, W, dk)
+    pos: jnp.ndarray,     # (H, W, dk) projected positional encodings
+    bias_u: jnp.ndarray,  # (H, dk)
+    bias_v: jnp.ndarray,  # (H, dk)
+    mask: jnp.ndarray,    # (W, W) nonzero = attend
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused softmax(mask((q+u)·kᵀ + shift((q+v)·posᵀ)))·V, rel-pos MHA.
+
+    Differentiable via a custom VJP that rematerializes the attention
+    through the XLA ops in the backward pass (pallas_call itself has no
+    autodiff rule) — the conformer training path needs this on real TPUs.
+    """
+    return _rel_block_attention(q, k, v, pos, bias_u, bias_v, mask, interpret)

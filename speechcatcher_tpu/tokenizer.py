@@ -120,6 +120,35 @@ class Tokenizer:
     def ids_to_tokens(self, ids) -> List[str]:
         return [self.token_list[int(i)] for i in ids]
 
+    def text_to_ids(self, text: str) -> List[int]:
+        """Tokenize text → ESPnet-vocabulary ids (training targets).
+
+        Inference never needs this; training does (reference trains via
+        ESPnet externally, README.md:238-244). Exact SentencePiece
+        segmentation needs the merge scores the wire-format reader drops,
+        so this uses greedy longest-match over the piece table — for BPE
+        vocabularies this matches SentencePiece on the vast majority of
+        words and is deterministic, which is all the trainer requires.
+        Characters no piece covers map to ``unk_id``.
+        """
+        text = " ".join(text.split())  # collapse whitespace
+        spm_text = "▁" + text.replace(" ", "▁")
+        ids: List[int] = []
+        pos = 0
+        max_piece = max((len(p) for p in self._piece_to_id), default=1)
+        while pos < len(spm_text):
+            for n in range(min(max_piece, len(spm_text) - pos), 0, -1):
+                tid = self._piece_to_id.get(spm_text[pos : pos + n])
+                if tid is not None:
+                    ids.append(tid)
+                    pos += n
+                    break
+            else:
+                if spm_text[pos] != "▁":  # bare word-boundary: no piece —
+                    ids.append(self.unk_id)  # skip silently like ESPnet
+                pos += 1
+        return ids
+
     def ids_to_text(self, ids) -> str:
         """Filtered detokenization (speech2text_streaming.py:513-531)."""
         special = {self.blank_id, self.unk_id, self.sos_id}

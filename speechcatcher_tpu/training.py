@@ -15,6 +15,7 @@ from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from speechcatcher_tpu.config import ModelConfig
@@ -85,9 +86,35 @@ def joint_loss(
     return loss, {"loss": loss, "ctc": l_ctc, "att": l_att}
 
 
+def warmup_lr_schedule(peak_lr: float, warmup_steps: int):
+    """ESPnet's WarmupLR: lr · warmup^0.5 · min(step^-0.5, step·warmup^-1.5).
+
+    Linear ramp to peak_lr at `warmup_steps`, then inverse-sqrt decay —
+    the schedule the reference's models were trained under (their
+    config.yaml: scheduler warmuplr, warmup_steps 25000/30000).
+    """
+    def schedule(step):
+        s = jnp.maximum(step.astype(jnp.float32)
+                        if hasattr(step, "astype") else float(max(step, 1)),
+                        1.0)
+        return peak_lr * warmup_steps ** 0.5 * jnp.minimum(
+            s ** -0.5, s * warmup_steps ** -1.5
+        )
+    return schedule
+
+
 def make_optimizer(lr: float = 1e-3,
-                   weight_decay: float = 1e-6) -> optax.GradientTransformation:
-    return optax.adamw(lr, weight_decay=weight_decay)
+                   weight_decay: float = 1e-6,
+                   warmup_steps: int = 0,
+                   grad_clip: float = 0.0) -> optax.GradientTransformation:
+    """adamw, optionally under WarmupLR and global-norm clipping
+    (ESPnet trains these models with grad_clip 5.0)."""
+    lr_or_sched = (warmup_lr_schedule(lr, warmup_steps)
+                   if warmup_steps > 0 else lr)
+    opt = optax.adamw(lr_or_sched, weight_decay=weight_decay)
+    if grad_clip > 0:
+        opt = optax.chain(optax.clip_by_global_norm(grad_clip), opt)
+    return opt
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "optimizer"))
@@ -108,29 +135,86 @@ def train_step(
     return new_params, new_opt_state, metrics
 
 
-def main():
-    """Minimal distributed training driver (smoke/scale harness).
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _eval_metrics(params, batch: TrainBatch, cfg: ModelConfig):
+    return joint_loss(params, batch, cfg)[1]
 
-    Single-host: `python -m speechcatcher_tpu.training --steps 10`.
-    Multi-host over DCN: run one process per host with
+
+def evaluate(params, cfg: ModelConfig, batches, tokenizer=None):
+    """Held-out evaluation: mean joint/CTC/attention loss, plus greedy-CTC
+    WER when a tokenizer is given.
+
+    `batches` yields (TrainBatch, ref_texts) pairs (BucketBatcher
+    with_refs=True). Greedy CTC is the cheap during-training proxy the
+    full beam decoder (decode/beam_search.py) refines at inference.
+    """
+    from speechcatcher_tpu.decode.greedy import _encode_and_collapse
+    from speechcatcher_tpu.wer import word_error_rate
+
+    sums = {"loss": 0.0, "ctc": 0.0, "att": 0.0}
+    refs: list = []
+    hyps: list = []
+    n = 0
+    for batch, texts in batches:
+        m = _eval_metrics(params, batch, cfg)
+        for k in sums:
+            sums[k] += float(m[k])
+        n += 1
+        if tokenizer is not None:
+            tokens, counts = _encode_and_collapse(
+                params, batch.feats, batch.feat_lens, cfg
+            )
+            tokens, counts = np.asarray(tokens), np.asarray(counts)
+            for i, text in enumerate(texts):
+                refs.append(text)
+                hyps.append(tokenizer.ids_to_text(
+                    [int(t) for t in tokens[i, : counts[i]]]
+                ))
+    out = {k: v / max(n, 1) for k, v in sums.items()}
+    if refs:
+        wer_stats = word_error_rate(refs, hyps)
+        out["wer"] = wer_stats["wer"]
+        out["cer"] = wer_stats["cer"]
+    return out
+
+
+def main():
+    """Distributed training/fine-tuning driver.
+
+    Single-host smoke: `python -m speechcatcher_tpu.training --steps 10`
+    (synthetic data). Real data: `--data-dir <kaldi dir>` (wav.scp +
+    text). Multi-host over DCN: run one process per host with
     `--coordinator host0:1234 --num-processes N --process-id i`; the mesh
     spans every host's chips, dp gradient psums ride ICI within a host and
     DCN across hosts (tp groups never span hosts — see
     parallel.mesh.hybrid_device_grid).
     """
     import argparse
-
-    import numpy as np
+    from pathlib import Path
 
     parser = argparse.ArgumentParser(description="speechcatcher_tpu trainer")
     parser.add_argument("--model-dir", type=str, default=None,
                         help="ESPnet model dir to fine-tune (default: "
                         "random-init from the flagship config)")
+    parser.add_argument("--data-dir", type=str, default=None,
+                        help="Kaldi-style data dir (wav.scp + text); "
+                        "default: synthetic smoke data")
     parser.add_argument("--steps", type=int, default=10)
     parser.add_argument("--batch", type=int, default=8,
                         help="GLOBAL batch size (sharded over dp)")
     parser.add_argument("--tp", type=int, default=1)
     parser.add_argument("--lr", type=float, default=1e-3)
+    parser.add_argument("--warmup-steps", type=int, default=0,
+                        help="WarmupLR ramp (ESPnet trains with 25-30k)")
+    parser.add_argument("--grad-clip", type=float, default=5.0)
+    parser.add_argument("--eval-frac", type=float, default=0.1)
+    parser.add_argument("--eval-every", type=int, default=0,
+                        help="evaluate every N steps (0 = only at end)")
+    parser.add_argument("--save-dir", type=str, default=None,
+                        help="orbax checkpoint dir (utils/save.py)")
+    parser.add_argument("--save-every", type=int, default=0)
+    parser.add_argument("--resume", action="store_true",
+                        help="resume params from --save-dir's latest step")
     parser.add_argument("--coordinator", type=str, default=None,
                         help="host:port of process 0 for multi-host DCN")
     parser.add_argument("--num-processes", type=int, default=None)
@@ -145,48 +229,77 @@ def main():
                            args.process_id)
     mesh = make_hybrid_mesh(tp=args.tp)
 
-    if args.model_dir is not None:
-        from pathlib import Path
+    from speechcatcher_tpu.models.asr_model import ASRModel
 
-        from speechcatcher_tpu.checkpoint import (
-            find_checkpoint, load_espnet_checkpoint,
-        )
-        params, cfg, _ = load_espnet_checkpoint(
-            find_checkpoint(Path(args.model_dir))
-        )
+    if args.model_dir is not None:
+        model = ASRModel.from_directory(Path(args.model_dir))
     else:
         from speechcatcher_tpu.config import ModelConfig
-        from speechcatcher_tpu.models.asr_model import ASRModel
-        cfg = ModelConfig()
-        params = ASRModel.random_init(cfg, seed=0).params
+        model = ASRModel.random_init(ModelConfig(), seed=0)
+    cfg, tokenizer, frontend = model.cfg, model.tokenizer, model.frontend
+    params = model.params
+    start_step = 0
+    if args.resume and args.save_dir:
+        from speechcatcher_tpu.utils.save import load_checkpoint
+        params, cfg, start_step = load_checkpoint(Path(args.save_dir))
+        print(f"resumed step {start_step} from {args.save_dir}")
+
+    from speechcatcher_tpu.data import (
+        BucketBatcher, read_kaldi_dir, synthetic_dataset, train_eval_split,
+    )
+
+    if args.data_dir is not None:
+        utts = read_kaldi_dir(Path(args.data_dir))
+    else:
+        utts = synthetic_dataset(max(4 * args.batch, 32), cfg, tokenizer)
+    train_utts, eval_utts = train_eval_split(utts, args.eval_frac)
+    batcher = BucketBatcher(frontend, tokenizer, batch_size=args.batch)
+    print(f"{len(train_utts)} train / {len(eval_utts)} eval utterances")
 
     params = shard_params(params, mesh)
-    optimizer = make_optimizer(args.lr)
+    optimizer = make_optimizer(args.lr, warmup_steps=args.warmup_steps,
+                               grad_clip=args.grad_clip)
     opt_state = optimizer.init(params)
 
-    rng = np.random.RandomState(0)
-    t_frames, u_tokens = 256, 24
-    for step in range(args.steps):
-        batch = TrainBatch(
-            feats=jnp.asarray(
-                rng.randn(args.batch, t_frames, cfg.n_mels), jnp.float32
-            ),
-            feat_lens=jnp.full((args.batch,), t_frames, jnp.int32),
-            tokens=jnp.asarray(
-                rng.randint(1, cfg.vocab_size - 1,
-                            (args.batch, u_tokens)), jnp.int32
-            ),
-            token_lens=jnp.full((args.batch,), u_tokens, jnp.int32),
-        )
-        batch = TrainBatch(*shard_batch(tuple(batch), mesh))
-        with mesh:
-            params, opt_state, metrics = train_step(
-                params, opt_state, batch, cfg, optimizer
-            )
-        if jax.process_index() == 0:
-            print(f"step {step}: loss {float(metrics['loss']):.4f} "
-                  f"(ctc {float(metrics['ctc']):.4f}, "
-                  f"att {float(metrics['att']):.4f})")
+    def run_eval(step):
+        if not eval_utts or jax.process_index() != 0:
+            return
+        m = evaluate(params, cfg,
+                     batcher.batches(eval_utts, with_refs=True), tokenizer)
+        wer = f" wer {m['wer']*100:.1f}%" if "wer" in m else ""
+        print(f"eval @ step {step}: loss {m['loss']:.4f} "
+              f"(ctc {m['ctc']:.4f}, att {m['att']:.4f}){wer}")
+
+    def save(step):
+        if args.save_dir and jax.process_index() == 0:
+            from speechcatcher_tpu.utils.save import save_checkpoint
+            save_checkpoint(Path(args.save_dir), jax.device_get(params),
+                            cfg, step=step)
+            print(f"saved step {step} -> {args.save_dir}")
+
+    step = start_step
+    epoch = 0
+    while step < start_step + args.steps:
+        for batch in batcher.batches(train_utts, shuffle_seed=epoch):
+            if step >= start_step + args.steps:
+                break
+            batch = TrainBatch(*shard_batch(tuple(batch), mesh))
+            with mesh:
+                params, opt_state, metrics = train_step(
+                    params, opt_state, batch, cfg, optimizer
+                )
+            step += 1
+            if jax.process_index() == 0:
+                print(f"step {step}: loss {float(metrics['loss']):.4f} "
+                      f"(ctc {float(metrics['ctc']):.4f}, "
+                      f"att {float(metrics['att']):.4f})")
+            if args.eval_every and step % args.eval_every == 0:
+                run_eval(step)
+            if args.save_every and step % args.save_every == 0:
+                save(step)
+        epoch += 1
+    run_eval(step)
+    save(step)
 
 
 if __name__ == "__main__":

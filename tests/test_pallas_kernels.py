@@ -155,6 +155,93 @@ def test_rel_block_attention_kernel_matches_xla():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_block_attention_grad_matches_xla():
+    """The kernel's custom VJP (XLA rematerialization backward) must give
+    the same q/k/v gradients as differentiating the plain XLA attention —
+    the training path hits this on real TPUs (pallas_call itself has no
+    autodiff rule)."""
+    import jax
+
+    from speechcatcher_tpu.models.encoder import block_attention_mask
+    from speechcatcher_tpu.ops.layers import scaled_dot_attention
+    from speechcatcher_tpu.ops.pallas.block_attention import block_attention
+
+    rng = np.random.RandomState(13)
+    n, h, w, dk = 3, 2, 10, 8
+    q = jnp.asarray(rng.randn(n, h, w, dk).astype(np.float32))
+    k = jnp.asarray(rng.randn(n, h, w, dk).astype(np.float32))
+    v = jnp.asarray(rng.randn(n, h, w, dk).astype(np.float32))
+    cot = jnp.asarray(rng.randn(n, h, w, dk).astype(np.float32))
+    mask = jnp.asarray(block_attention_mask(w - 2))
+
+    def loss_kernel(q, k, v):
+        return jnp.sum(block_attention(q, k, v, mask, interpret=True) * cot)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(
+            scaled_dot_attention(q, k, v, mask[None, None, :, :]) * cot
+        )
+
+    g_kernel = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_kernel, g_xla, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5, err_msg=name)
+
+
+def test_rel_block_attention_grad_matches_xla():
+    """Custom-VJP gradients through the fused rel-pos kernel — including
+    the trainable pos/bias_u/bias_v cotangents — must match differentiating
+    an independently assembled XLA rel-attention (same math as the
+    conformer module's non-Pallas path at tq == tk, shared pos table)."""
+    import math
+
+    import jax
+
+    from speechcatcher_tpu.models.encoder import block_attention_mask
+    from speechcatcher_tpu.ops.conformer import rel_shift
+    from speechcatcher_tpu.ops.layers import MASK_MIN
+    from speechcatcher_tpu.ops.pallas.rel_attention import rel_block_attention
+
+    rng = np.random.RandomState(17)
+    n, h, w, dk = 3, 2, 10, 8
+    q = jnp.asarray(rng.randn(n, h, w, dk).astype(np.float32))
+    k = jnp.asarray(rng.randn(n, h, w, dk).astype(np.float32))
+    v = jnp.asarray(rng.randn(n, h, w, dk).astype(np.float32))
+    pos = jnp.asarray(rng.randn(h, w, dk).astype(np.float32))
+    bu = jnp.asarray(rng.randn(h, dk).astype(np.float32))
+    bv = jnp.asarray(rng.randn(h, dk).astype(np.float32))
+    cot = jnp.asarray(rng.randn(n, h, w, dk).astype(np.float32))
+    mask = jnp.asarray(block_attention_mask(w - 2))
+
+    def xla_rel_attention(q, k, v, pos, bu, bv):
+        ac = jnp.einsum("nhqd,nhkd->nhqk", q + bu[None, :, None, :], k)
+        bd = rel_shift(
+            jnp.einsum("nhqd,hkd->nhqk", q + bv[None, :, None, :], pos)
+        )
+        scores = (ac + bd) / math.sqrt(dk)
+        keep = mask != 0
+        scores = jnp.where(keep[None, None], scores, MASK_MIN)
+        attn = jax.nn.softmax(scores, axis=-1)
+        attn = jnp.where(keep[None, None], attn, 0.0)
+        return jnp.einsum("nhqk,nhkd->nhqd", attn, v)
+
+    args = (q, k, v, pos, bu, bv)
+
+    def loss_kernel(*a):
+        return jnp.sum(rel_block_attention(*a, mask, interpret=True) * cot)
+
+    def loss_xla(*a):
+        return jnp.sum(xla_rel_attention(*a) * cot)
+
+    g_kernel = jax.grad(loss_kernel, argnums=tuple(range(6)))(*args)
+    g_xla = jax.grad(loss_xla, argnums=tuple(range(6)))(*args)
+    for a, b, name in zip(g_kernel, g_xla,
+                          ["q", "k", "v", "pos", "bias_u", "bias_v"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4, err_msg=name)
+
+
 def test_ring_append_rows_matches_numpy():
     """In-place windowed append (rows variant): exact vs a numpy loop at
     awkward offsets/validities, including zero-length and ring-end spans."""
