@@ -129,6 +129,7 @@ class BucketBatcher:
         sample_buckets: Optional[Sequence[int]] = None,
         token_buckets: Sequence[int] = (16, 32, 64, 128),
         sample_rate: int = 16000,
+        input_layer: str = "conv2d",
     ):
         if sample_buckets is None:
             # 2s..32s geometric — covers segmented ASR utterances.
@@ -138,16 +139,29 @@ class BucketBatcher:
         self.batch_size = batch_size
         self.sample_buckets = sorted(sample_buckets)
         self.token_buckets = sorted(token_buckets)
+        self.input_layer = input_layer
         self._featurize = jax.jit(lambda w: frontend(w))
         self.n_dropped = 0
 
+    def _subsampled_frames(self, n_samples: int) -> int:
+        """Encoder frame count after the model's conv subsampling — the
+        same kernel/stride walk encoder_forward_train applies to ilens."""
+        from speechcatcher_tpu.models.encoder import _CONV_SPECS
+
+        n = self.frontend.n_frames(n_samples)
+        if self.input_layer == "linear":
+            return n
+        for k, s in zip(*_CONV_SPECS[self.input_layer]):
+            n = (n - k) // s + 1
+        return n
+
     def _encode_targets(self, utt: Utterance) -> Optional[List[int]]:
         ids = self.tokenizer.text_to_ids(utt.text)
-        # CTC needs enough frames to emit every (possibly repeated)
-        # label with blanks; 2U+1 over the subsampled length is the
-        # hard bound — use the conv2d 4x subsampling worst case.
-        n_frames = self.frontend.n_frames(len(utt.wave)) // 4
-        if not ids or 2 * len(ids) + 1 > n_frames:
+        # CTC needs enough subsampled frames to emit every (possibly
+        # repeated) label with blanks: 2U+1 is the hard bound.
+        if not ids or 2 * len(ids) + 1 > self._subsampled_frames(
+            len(utt.wave)
+        ):
             return None
         return ids
 

@@ -253,7 +253,8 @@ def main():
     else:
         utts = synthetic_dataset(max(4 * args.batch, 32), cfg, tokenizer)
     train_utts, eval_utts = train_eval_split(utts, args.eval_frac)
-    batcher = BucketBatcher(frontend, tokenizer, batch_size=args.batch)
+    batcher = BucketBatcher(frontend, tokenizer, batch_size=args.batch,
+                            input_layer=cfg.input_layer)
     print(f"{len(train_utts)} train / {len(eval_utts)} eval utterances")
 
     params = shard_params(params, mesh)

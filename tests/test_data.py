@@ -82,6 +82,25 @@ def test_bucket_batcher_drops_untrainable_ctc(model):
     assert batcher.n_dropped == 1
 
 
+def test_ctc_guard_tracks_subsampling_variant(model):
+    # The 2U+1 CTC bound must use the MODEL's subsampling (conv2d8 keeps
+    # ~half the frames conv2d does), not a hard-coded 4x: a transcript
+    # trainable under conv2d can be impossible under conv2d8.
+    b4 = BucketBatcher(model.frontend, model.tokenizer, batch_size=1,
+                       input_layer="conv2d")
+    b8 = BucketBatcher(model.frontend, model.tokenizer, batch_size=1,
+                       input_layer="conv2d8")
+    n_samp = CFG.sample_rate  # 1 s
+    f4, f8 = b4._subsampled_frames(n_samp), b8._subsampled_frames(n_samp)
+    assert f8 < f4
+    n_tok = (f4 - 1) // 2  # fits under conv2d, not under conv2d8
+    assert 2 * n_tok + 1 <= f4 and 2 * n_tok + 1 > f8
+    utt = Utterance("u0", np.zeros(n_samp, np.float32),
+                    " ".join(["t0"] * n_tok))
+    assert list(b4.batches([utt])) and b4.n_dropped == 0
+    assert not list(b8.batches([utt])) and b8.n_dropped == 1
+
+
 def test_shuffle_is_deterministic(model):
     utts = synthetic_dataset(12, CFG, model.tokenizer, seed=2)
     def first_lens(seed):
