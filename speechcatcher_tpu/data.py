@@ -197,11 +197,13 @@ class BucketBatcher:
                 yield self._emit(groups.pop((sb, tb)), sb, tb, TrainBatch,
                                  with_refs)
         for (sb, tb), group in sorted(groups.items()):
+            n_real = len(group)
             while len(group) < self.batch_size:  # static-shape flush pad
                 group.append(group[-1])
-            yield self._emit(group, sb, tb, TrainBatch, with_refs)
+            yield self._emit(group, sb, tb, TrainBatch, with_refs, n_real)
 
-    def _emit(self, group, sb: int, tb: int, TrainBatch, with_refs: bool):
+    def _emit(self, group, sb: int, tb: int, TrainBatch, with_refs: bool,
+              n_real: Optional[int] = None):
         b = len(group)
         waves = np.zeros((b, sb), np.float32)
         tokens = np.zeros((b, tb), np.int32)
@@ -220,5 +222,8 @@ class BucketBatcher:
             token_lens=jnp.asarray(token_lens),
         )
         if with_refs:
-            return batch, [utt.text for utt, _ in group]
+            # Flush pads repeat the LAST row; trimming refs to the real
+            # rows keeps eval WER from double-counting those utterances
+            # (evaluate() slices hyps to len(refs) to stay aligned).
+            return batch, [utt.text for utt, _ in group[: n_real or b]]
         return batch
