@@ -458,6 +458,19 @@ def run_rung(n_streams: int, churn_period: int):
         # even under JAX_PLATFORMS=cpu; pin it back before any backend
         # initializes or a stalled relay hangs a CPU-pinned rung.
         jax.config.update("jax_platforms", "cpu")
+    if (n_streams > 160 and "SC_TPU_UNFUSED_TICK" not in os.environ
+            and not os.environ.get("SC_TPU_FORCE_FUSED")):
+        # Throughput rungs (> the latency ladder) run the SPLIT tick: the
+        # bf16 whole-tick program at S=512 reproducibly hangs the remote
+        # compile (2026-08-20: 3/3 attempts stuck epoll-idle at warmup
+        # tick 4 for 600-1500+ s — int8 weights at the SAME shape
+        # compiled in 47 s between two of those failures, and every
+        # S<=160 fused rung compiles in seconds, so it is this program,
+        # not relay mood). Fusion's ~20-30 ms/dispatch win is the
+        # latency-ladder enabler but noise against a 300-500 ms
+        # throughput tick; the split tick is the config every banked
+        # 512/640/768 result used. SC_TPU_FORCE_FUSED=1 overrides.
+        os.environ["SC_TPU_UNFUSED_TICK"] = "1"
     on_accelerator = jax.devices()[0].platform not in ("cpu",)
     model = _build_model(on_accelerator)
     beam = 5 if on_accelerator else 2
