@@ -80,13 +80,15 @@ TIMED_TICKS = 24
 # 2026-08-19: ~70% of rung starts wedged for an hour) — and even if the
 # driver kills an overrun, every banked result was already emitted as a
 # parseable line, so the run degrades to best-so-far, not to nothing.
-# Round-5 raise 1620 -> 2040: the r04 "wedges" were remote compiles
-# killed mid-flight (see the watchdog note in measure()); with the
-# phase-aware watchdog each cold rung legitimately needs up to 660 s,
-# and a fully-cold day (the local cache never hits across processes on
-# axon) must fit anchor + latency rung + one climb rung = ~3 cold rungs.
-# The overrun risk is bounded by best-so-far emission.
-TIME_BUDGET_S = 2040.0
+# Round-5 raise 1620 -> 2040 -> 2430: the r04 "wedges" were remote
+# compiles killed mid-flight (see the watchdog note in measure()); with
+# the phase-aware watchdog each cold rung legitimately needs up to
+# RUNG_TIMEOUT_S (810 s — compiles observed finishing as late as
+# t≈500 s), and a fully-cold day (the local cache never hits across
+# processes on axon) must fit anchor + latency rung + one climb rung =
+# ~3 cold rungs. The overrun risk is bounded by best-so-far emission:
+# every banked rung has already printed a parseable result line.
+TIME_BUDGET_S = 2430.0
 # Per-rung subprocess cap. The tunneled chip occasionally stalls for
 # MINUTES (observed: jax.devices() blocking >20 min during a relay
 # outage); without a per-rung cap one stalled rung eats the whole
@@ -94,11 +96,14 @@ TIME_BUDGET_S = 2040.0
 # ~60 s of ticks + seconds of dispatch; a cold-cache first visit pays a
 # few minutes of REMOTE XLA compiles — observed 190-600 s server-side
 # (2026-08-20), and the local persistent cache does not hit across
-# processes on axon, so the graded run must assume cold. 660 s contains
-# one cold warmup (600 s watchdog ceiling) plus the timed window; a
-# relay-stalled rung still dies in time for a later rung (or retry) to
-# run after the relay recovers.
-RUNG_TIMEOUT_S = 660.0
+# processes on axon, so the graded run must assume cold. The cap must
+# contain a LATE-but-live compile plus the full tick window: a measured
+# S=512 rung whose compile finished at t≈500 s completed at t≈670 s —
+# over the previous 660 s cap, which killed rungs that were seconds from
+# banking. 810 s covers watchdog ceiling (600 s) + timed window; true
+# wedges still self-abort at ~600-660 s via the in-process watchdog, so
+# the higher cap only ever extends rungs that are making progress.
+RUNG_TIMEOUT_S = 810.0
 
 
 def synth_audio(n_ticks: int, seed: int) -> np.ndarray:
