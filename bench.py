@@ -236,7 +236,15 @@ def measure(model, n_streams: int, beam: int,
                 # progress point instead of counting toward the wedge.
                 last_prog[0], last_prog[1] = wall_now, cpu_now
             elif idle > limit:
-                prog(f"WEDGE: no progress in {limit:.0f}s "
+                # Phase tag in the message: the parent's retry logic
+                # treats a WARMUP-phase kill (a remote first compile that
+                # outran even the 600 s allowance — observed: the fused
+                # finalize program at S=112/128 on 2026-08-20, where the
+                # retry then passed on the server-cached programs) very
+                # differently from a TIMED-phase wedge (a genuinely stuck
+                # device call on already-compiled programs).
+                phase = "warmup" if in_warmup[0] else "timed"
+                prog(f"WEDGE({phase}): no progress in {limit:.0f}s "
                      f"(device call stuck, process idle) — aborting rung")
                 # Root-cause evidence (VERDICT r04 #2): dump every
                 # thread's Python stack so the parent log records WHICH
@@ -743,7 +751,7 @@ def main():
         return TIME_BUDGET_S - (time.time() - start)
 
     def try_rung(s: int, timeout_cap: float = RUNG_TIMEOUT_S,
-                 rt_gate: bool = True, retry: bool = True) -> Optional[dict]:
+                 rt_gate: bool = True, retry=True) -> Optional[dict]:
         """Measure rung s (with one near-miss retry); returns the stats
         dict — or None when the rung failed outright or (rt_gate) missed
         real time. The budget is enforced for EVERY rung including the
@@ -751,7 +759,13 @@ def main():
         the driver window); best-so-far emission still banks partial
         ladders. retry=False disables the wedge/cold-compile retry: right
         for a rung with a cheaper substitute waiting (the latency ladder
-        falls through to S=64), wrong for a rung nothing else can replace."""
+        falls through to S=64), wrong for a rung nothing else can replace.
+        retry="warm" retries ONLY a warmup-phase death (cold compile
+        killed by the watchdog or the subprocess timeout — the completed
+        programs persist in the server-side cache, so the retry starts
+        most of the way up the compile ladder and usually passes:
+        observed at S=112 and S=128 on 2026-08-20), while a timed-phase
+        wedge still falls straight through to the next rung."""
         nonlocal flops_tick_stream
         if remaining() < 150:
             # Below a warm rung's realistic wall (engine build + cached-
@@ -768,21 +782,25 @@ def main():
             # (round 4: the first S=512 rung died at warmup tick 20/68 and
             # its retry passed with 6 minutes to spare).
             last = _FAILURES[-1] if _FAILURES else {}
+            why = last.get("why", "") if last.get("streams") == s else ""
             # Retry-worthy deaths: cold-compile timeouts (the programs it
-            # DID compile persist in the on-disk cache) and relay wedges
-            # (transient — identical rungs ran clean minutes apart).
-            compiled_out = (last.get("streams") == s
-                            and ("warmup" in last.get("why", "")
-                                 or "compile" in last.get("why", "")
-                                 or "WEDGE" in last.get("why", "")))
-            if retry and compiled_out and remaining() > 180:
-                if "WEDGE" in last.get("why", "") and remaining() > 450:
-                    # An aborted wedge can leave the relay sick for a
-                    # while (2026-08-19 burst: immediate retries
-                    # re-wedged 3× in a row at the same tick while
-                    # spaced attempts passed) — a short cool-down costs
-                    # 45 s against a ~150 s re-wedge.
-                    time.sleep(45.0)
+            # DID compile persist in the server-side cache) and relay
+            # wedges (transient — identical rungs ran clean minutes
+            # apart). "warm" mode retries only the compile story.
+            warm_kill = "warmup" in why or "compile" in why
+            compiled_out = warm_kill or "WEDGE" in why
+            do_retry = (retry is True and compiled_out) \
+                or (retry == "warm" and warm_kill)
+            if do_retry and remaining() > 180:
+                if "WEDGE" in why and remaining() > 450:
+                    # An aborted wedge can leave the DEVICE sick for a
+                    # while, not just the relay: after a watchdog
+                    # os._exit mid-device-op, the next process's first
+                    # device call can fail FAILED_PRECONDITION (observed
+                    # 2026-08-20: S=112 retry 60 s after the kill died
+                    # instantly; a retry 3 min later passed). 90 s is
+                    # the measured-safe floor the budget can afford.
+                    time.sleep(90.0)
                 got = _rung_subprocess(s, churn_period,
                                        timeout_s=min(remaining(),
                                                      timeout_cap))
@@ -866,17 +884,22 @@ def main():
         """Latency-constrained ladder (median < 100 ms): climb until a rung
         misses; if nothing banked beyond the S=1 seed, probe the fallback."""
         lat_attempted[0] = True
-        # retry=False: S=96 turned wedge-PRONE on 2026-08-19 (5/5 attempts
-        # wedged across two warm passes while 64/512/640 passed around
-        # them) — one failed attempt should fall straight through to the
-        # S=64 fallback instead of burning a second ~150 s wedge.
+        # retry="warm": the r04 "wedge-prone" S=96 (5/5 attempts dead)
+        # was root-caused as the watchdog killing the fused tick's
+        # remote first compile — and a retry after such a kill passes on
+        # the server-cached programs (S=112: killed at 600 s idle in the
+        # finalize compile, retry measured 88 ms; S=128 same pattern,
+        # retry 92 ms — 2026-08-20). So a warmup-phase death gets its
+        # one retry (it is the difference between banking >=112 and
+        # falling to 64 on a cold cache), while a timed-phase wedge
+        # still falls straight through to the cheaper fallback.
         for s in [r for r in lat_climb if r > lat_best_s]:
             if lat_best_s >= 100 and remaining() < RUNG_TIMEOUT_S + 250:
                 # North-star satisfied (>=100 streams under 100 ms);
                 # climbing further is gravy — don't spend the budget the
                 # 768 throughput rung (worth a headline) still needs.
                 break
-            got = try_rung(s, rt_gate=False, retry=False)
+            got = try_rung(s, rt_gate=False, retry="warm")
             if got is None:
                 break
             med = got.get("median", got["mean"])
