@@ -880,9 +880,18 @@ def main():
 
     lat_attempted = [False]
 
-    def run_lat_ladder():
+    def run_lat_ladder(gravy: bool = False):
         """Latency-constrained ladder (median < 100 ms): climb until a rung
-        misses; if nothing banked beyond the S=1 seed, probe the fallback."""
+        misses; if nothing banked beyond the S=1 seed, probe the fallback.
+
+        gravy=False (the pass right after the anchor banks) STOPS the
+        climb at the first rung >= 100 streams: the north-star is binary
+        there, and every further lat rung costs ~500 s warm — budget the
+        768 throughput climb (a graded headline) still needs. The full
+        rehearsal on 2026-08-21 measured exactly this failure: 512 → 112
+        → 128 → S=1 consumed the budget and 768 got 153 s. gravy=True
+        (after the climb finishes) spends whatever is left raising the
+        number 112 → 128."""
         lat_attempted[0] = True
         # retry="warm": the r04 "wedge-prone" S=96 (5/5 attempts dead)
         # was root-caused as the watchdog killing the fused tick's
@@ -894,10 +903,15 @@ def main():
         # falling to 64 on a cold cache), while a timed-phase wedge
         # still falls straight through to the cheaper fallback.
         for s in [r for r in lat_climb if r > lat_best_s]:
-            if lat_best_s >= 100 and remaining() < RUNG_TIMEOUT_S + 250:
+            if lat_best_s >= 100 and not gravy:
                 # North-star satisfied (>=100 streams under 100 ms);
-                # climbing further is gravy — don't spend the budget the
-                # 768 throughput rung (worth a headline) still needs.
+                # climbing further is gravy — come back after the 768
+                # throughput rung (worth a headline) has had its budget.
+                break
+            if gravy and remaining() < 550:
+                # A warm lat rung realistically needs ~480-500 s
+                # (measured S=112/128, 2026-08-21); a shorter attempt
+                # times out and buys nothing.
                 break
             got = try_rung(s, rt_gate=False, retry="warm")
             if got is None:
@@ -907,11 +921,12 @@ def main():
                 break
             bank_lat(s, med)
             print(result_json(), flush=True)
-        if lat_best_s <= 1:
+        if lat_best_s <= 1 and not gravy:
             # <=1, not falsy: the S=1 seed above must not satisfy the
             # metric — it blocked the 128/96 fallback entirely in the
             # first r04 run (value_p50_100ms banked as 1 while S=128 was
-            # never measured).
+            # never measured). The gravy pass skips the fallback: pass 1
+            # already probed it, and a re-probe would duplicate misses.
             for s in lat_fallback:
                 got = try_rung(s, rt_gate=False)
                 if got is None:
@@ -969,12 +984,14 @@ def main():
         if i == 0:
             # Both BASELINE north-stars bank before any further climbing:
             # with the primary metric's floor (the anchor rung) banked,
-            # the cheap ~3-min latency rung runs NEXT — two r04 runs in a
-            # row lost it by running it last, behind climb rungs that hit
-            # a degrading relay and ate the rest of the budget. S=1
-            # follows for the single-stream metric.
+            # the latency rung runs NEXT — two r04 runs in a row lost it
+            # by running it last, behind climb rungs that hit a degrading
+            # relay and ate the rest of the budget. The ladder stops at
+            # the FIRST >=100-stream success (~500 s warm per rung); the
+            # 128 upside and the S=1 seed wait until the 768 headline
+            # rung has run (the 2026-08-21 rehearsal lost 768 to exactly
+            # those two rungs' budget).
             run_lat_ladder()
-            run_single()
     if not best_s:
         for s in fallback:
             got = try_rung(s)
@@ -990,7 +1007,6 @@ def main():
         # that already measured-and-missed would duplicate 150-300 s
         # rungs for the same misses.
         run_lat_ladder()
-        run_single()
 
     if not climb_ok and best_s:
         # The top climb rung failed (768 misses real time on a bad relay
@@ -1003,6 +1019,13 @@ def main():
             bank(s, got)
             bank_lat(s, got.get("median", got["mean"]))
             print(result_json(), flush=True)
+
+    # Leftover budget buys the nice-to-haves, in value order: raising
+    # value_p50_100ms 112 → 128 (a graded number) before the S=1
+    # single-stream seed (cosmetic). Both bail out cheaply when the
+    # climb already spent the budget.
+    run_lat_ladder(gravy=True)
+    run_single()
 
     print(result_json())
 
